@@ -1,0 +1,146 @@
+"""Flax ResNet-v1 backbones (50 / 101 / 152) with frozen batch-norm.
+
+Behavioral spec from the reference (ref: deeplabcut/pose_estimation_tensorflow/
+nnet/pose_net.py:36-53): slim ``resnet_v1_{50,101,152}`` with
+``global_pool=False, output_stride=16, is_training=False`` — i.e. BN always
+uses the stored moving statistics (a per-channel affine transform), strides
+live on the *last* unit of each block (slim v1 convention), and when the
+accumulated stride hits ``output_stride`` the remaining units switch to
+dilated (atrous) convolutions.
+
+TPU-first notes:
+* Frozen BN folds into a scale/offset pair at apply time — XLA fuses it into
+  the preceding convolution, so there is no BN cost at all on the MXU.
+* All convs use TF-style 'SAME' padding (flax default matches TF).
+* ``compute_dtype`` lets the whole trunk run in bfloat16 on the MXU while
+  parameters stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+BLOCK_UNITS = {
+    "resnet_50": (3, 4, 6, 3),
+    "resnet_101": (3, 4, 23, 3),
+    "resnet_152": (3, 8, 36, 3),
+}
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm in pure inference mode (moving stats are constants).
+
+    gamma/beta remain trainable parameters (slim keeps them in the trainable
+    set even with is_training=False); mean/var live in the ``batch_stats``
+    collection and are never updated by the optimizer.
+    """
+
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((features,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((features,), jnp.float32))
+        # fold into a single multiply-add; XLA fuses this into the conv
+        inv = scale / jnp.sqrt(var.value + self.epsilon)
+        y = x * inv.astype(self.dtype) + (bias - mean.value * inv).astype(self.dtype)
+        return y
+
+
+class BottleneckV1(nn.Module):
+    """slim resnet_v1 bottleneck unit: 1x1 -> 3x3(stride/rate) -> 1x1 + skip."""
+
+    depth: int             # output channels
+    depth_bottleneck: int  # bottleneck channels
+    stride: int = 1
+    rate: int = 1          # dilation for the 3x3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_depth = x.shape[-1]
+        conv = lambda f, k, s, d, name: nn.Conv(
+            f, (k, k), strides=(s, s), kernel_dilation=(d, d), padding="SAME",
+            use_bias=False, dtype=self.dtype, name=name)
+        bn = lambda name: FrozenBatchNorm(dtype=self.dtype, name=name)
+
+        if in_depth != self.depth:
+            shortcut = conv(self.depth, 1, self.stride, 1, "shortcut_conv")(x)
+            shortcut = bn("shortcut_bn")(shortcut)
+        elif self.stride != 1:
+            # slim subsample(): 1x1 max-pool with stride
+            shortcut = nn.max_pool(x, (1, 1), strides=(self.stride, self.stride))
+        else:
+            shortcut = x
+
+        y = conv(self.depth_bottleneck, 1, 1, 1, "conv1")(x)
+        y = nn.relu(bn("bn1")(y))
+        y = conv(self.depth_bottleneck, 3, self.stride, self.rate, "conv2")(y)
+        y = nn.relu(bn("bn2")(y))
+        y = conv(self.depth, 1, 1, 1, "conv3")(y)
+        y = bn("bn3")(y)
+        return nn.relu(shortcut + y)
+
+
+class ResNetV1(nn.Module):
+    """ResNet-v1 trunk with output_stride control (no global pool / fc)."""
+
+    units: Sequence[int] = (3, 4, 6, 3)
+    output_stride: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(FrozenBatchNorm(dtype=self.dtype, name="bn1")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        current_stride = 4
+        rate = 1
+
+        depths = (256, 512, 1024, 2048)
+        bottlenecks = (64, 128, 256, 512)
+        end_points = {}
+        for b, (n_units, depth, db) in enumerate(
+                zip(self.units, depths, bottlenecks)):
+            # slim v1: stride 2 on the *last* unit of blocks 1-3, block4 stride 1
+            block_stride = 2 if b < 3 else 1
+            for u in range(n_units):
+                unit_stride = block_stride if u == n_units - 1 else 1
+                if unit_stride != 1 and current_stride >= self.output_stride:
+                    # switch to atrous: keep resolution, grow the rate
+                    effective_stride = 1
+                    unit_rate = rate
+                    next_rate = rate * unit_stride
+                else:
+                    effective_stride = unit_stride
+                    unit_rate = rate
+                    next_rate = rate
+                x = BottleneckV1(
+                    depth=depth, depth_bottleneck=db, stride=effective_stride,
+                    rate=unit_rate, dtype=self.dtype,
+                    name=f"block{b + 1}_unit{u + 1}")(x)
+                current_stride *= effective_stride
+                rate = next_rate
+            end_points[f"block{b + 1}"] = x
+        return x, end_points
+
+
+def make_backbone(net_type: str, output_stride: int = 16,
+                  dtype: Any = jnp.float32) -> ResNetV1:
+    if net_type not in BLOCK_UNITS:
+        raise ValueError(
+            f"unknown net_type {net_type!r}; available: {sorted(BLOCK_UNITS)}"
+            " (mobilenet variants: deepgraphpose_tpu.models.mobilenet)")
+    return ResNetV1(units=BLOCK_UNITS[net_type], output_stride=output_stride,
+                    dtype=dtype)

@@ -1,0 +1,91 @@
+"""Model shape / semantics tests (CPU, tiny inputs).
+
+ResNet-50 CPU compiles are expensive: all tests share one initialized model
+via a module-scoped fixture.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepgraphpose_tpu.core.config import PoseConfig
+from deepgraphpose_tpu.models.pose_model import PoseModel, init_model, scoremap_size
+
+
+def _cfg(**kw):
+    base = dict(num_joints=3, net_type="resnet_50", location_refinement=True)
+    base.update(kw)
+    return PoseConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def resnet_model():
+    cfg = _cfg()
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (64, 48))
+    apply = jax.jit(model.apply)
+    return model, variables, apply
+
+
+def test_scoremap_size_formula():
+    cfg = _cfg()
+    assert scoremap_size(cfg, (64, 64)) == (8, 8)
+    assert scoremap_size(cfg, (747, 832)) == (94, 104)  # Reaching demo dims
+
+
+def test_resnet50_forward_shapes(resnet_model):
+    _, variables, apply = resnet_model
+    out = apply(variables, jnp.zeros((2, 64, 48, 3)))
+    # 16x backbone stride, 2x deconv => total stride 8
+    assert out["part_pred"].shape == (2, 8, 6, 3)
+    assert out["locref"].shape == (2, 8, 6, 6)
+
+
+def test_mean_pixel_subtraction_changes_output(resnet_model):
+    _, variables, apply = resnet_model
+    a = apply(variables, jnp.zeros((2, 64, 48, 3)))
+    b = apply(variables, jnp.full((2, 64, 48, 3), 123.68))
+    assert not np.allclose(np.asarray(a["part_pred"]),
+                           np.asarray(b["part_pred"]))
+
+
+def test_frozen_bn_deterministic_across_calls(resnet_model):
+    _, variables, apply = resnet_model
+    x = jnp.ones((2, 64, 48, 3)) * 50
+    y1 = apply(variables, x)["part_pred"]
+    y2 = apply(variables, x)["part_pred"]
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_param_structure_has_expected_blocks(resnet_model):
+    _, variables, _ = resnet_model
+    params = variables["params"]
+    backbone_key = [k for k in params if k.startswith("ResNetV1")][0]
+    blocks = params[backbone_key]
+    assert "conv1" in blocks
+    assert "block4_unit3" in blocks  # resnet-50: 3 units in block4
+    assert "block3_unit6" in blocks  # resnet-50: 6 units in block3
+    assert "part_pred" in params and "locref_pred" in params
+    assert "batch_stats" in variables
+
+
+def test_mobilenet_forward_shapes():
+    cfg = _cfg(net_type="mobilenet_v2_0.35")
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (64, 64))
+    out = model.apply(variables, jnp.zeros((1, 64, 64, 3)))
+    assert out["part_pred"].shape == (1, 8, 8, 3)
+
+
+def test_bfloat16_compute_dtype():
+    cfg = _cfg(net_type="mobilenet_v2_0.35")
+    model = PoseModel(cfg, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    out = model.apply(variables, jnp.zeros((1, 32, 32, 3)))
+    # heads cast back to f32 for the loss
+    assert out["part_pred"].dtype == jnp.float32
+
+
+def test_unknown_net_type_raises():
+    with pytest.raises(ValueError):
+        cfg = _cfg(net_type="resnet_33")
+        init_model(cfg, jax.random.PRNGKey(0), (32, 32))
