@@ -1,0 +1,405 @@
+"""Training entry points: fit_dlc (step 0), fit_dgp_labeledonly (step 1),
+fit_dgp (step 2).
+
+Orchestration contract mirrors the reference (ref:
+src/deepgraphpose/models/fitdgp.py:53-254, 257-546, 549-845): same step
+indices, snapshot naming, skip-if-final-exists idempotency, optimizer
+settings, and DGP hyperparameter defaults — but the execution model is
+TPU-native: one jitted train step per phase with on-device target
+rasterization, fixed-shape masked batches, host batch assembly overlapped
+with device compute via a background prefetcher.
+"""
+
+from __future__ import annotations
+
+import csv
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from deepgraphpose_tpu.core import checkpoint as ckpt_lib
+from deepgraphpose_tpu.core import paths as paths_lib
+from deepgraphpose_tpu.core.config import PoseConfig, ProjectConfig
+from deepgraphpose_tpu.data import project as project_io
+from deepgraphpose_tpu.data.augment import Augmenter
+from deepgraphpose_tpu.data.batcher import (MultiDataset, assemble_batch,
+                                            generate_batch_schedule)
+from deepgraphpose_tpu.data.prefetch import DevicePrefetcher
+from deepgraphpose_tpu.models.pose_model import init_model
+from deepgraphpose_tpu.ops.dgp_objective import (DGPLossParams,
+                                                 compute_spatial_bounds)
+from deepgraphpose_tpu.train import steps as steps_lib
+
+
+# ---------------------------------------------------------------------------
+# shared plumbing
+# ---------------------------------------------------------------------------
+
+def resolve_project(dlcpath: str | Path, shuffle: int = 1,
+                    trainingsetindex: int = 0):
+    """(proj_cfg, pose_cfg, train_dir) from a DLC project directory."""
+    dlcpath = Path(dlcpath)
+    proj = ProjectConfig.from_yaml(dlcpath / "config.yaml")
+    proj.project_path = str(dlcpath)
+    train_dir = paths_lib.train_dir(dlcpath, proj, shuffle, trainingsetindex)
+    pose_cfg = PoseConfig.from_yaml(train_dir / "pose_cfg.yaml")
+    pose_cfg.project_path = str(dlcpath)
+    return proj, pose_cfg, train_dir
+
+
+def dgp_video_sets(proj: ProjectConfig, dlcpath: str | Path) -> list[str]:
+    """videos_dgp/ contents, else the project's video_sets
+    (ref: fitdgp.py:594-604)."""
+    vids = paths_lib.list_videos(paths_lib.videos_dgp_dir(dlcpath))
+    if vids:
+        return vids
+    out = []
+    for v in proj.video_sets:
+        p = Path(v)
+        if not p.is_absolute():
+            p = Path(dlcpath) / p
+        out.append(str(p))
+    return out
+
+
+def _log_stats(train_dir: Path, rows: list, header: list) -> None:
+    path = train_dir / "learning_stats.csv"
+    new = not path.exists()
+    with open(path, "a", newline="") as f:
+        wr = csv.writer(f)
+        if new:
+            wr.writerow(header)
+        wr.writerows(rows)
+
+
+class _TrainLabeledImages:
+    """Labeled-frame image set for step 0, on a fixed canvas.
+
+    TPU-first: the reference's random scale jitter produces a different
+    tensor shape every iteration (pose_defaultdataset.py:136-266); here
+    images are scaled by global_scale and placed on one static canvas so a
+    single XLA program serves all iterations. Jitter becomes an optional
+    resize *within* the canvas.
+    """
+
+    def __init__(self, proj: ProjectConfig, cfg: PoseConfig,
+                 dlcpath: str | Path):
+        import cv2
+
+        self.cfg = cfg
+        dlcpath = Path(dlcpath)
+        self.items: list[tuple[np.ndarray, np.ndarray]] = []
+
+        mat_path = dlcpath / cfg.dataset if cfg.dataset else None
+        scale = cfg.global_scale
+        entries: list[tuple[Path, np.ndarray]] = []
+        if mat_path and mat_path.exists():
+            ts = project_io.read_training_set(
+                mat_path, dlcpath / cfg.metadataset if cfg.metadataset else None)
+            coords = ts.coords_for(cfg.num_joints)
+            for p, c in zip(ts.image_paths, coords):
+                entries.append((dlcpath / p, c))
+        else:
+            # fall back to CollectedData CSVs
+            for vdir in sorted((dlcpath / "labeled-data").glob("*")):
+                try:
+                    labels = project_io.read_labels(vdir, proj.scorer)
+                except FileNotFoundError:
+                    continue
+                for p, c in zip(labels.image_paths, labels.coords_xy):
+                    ip = dlcpath / p
+                    if ip.exists():
+                        entries.append((ip, c))
+        if not entries:
+            raise FileNotFoundError(f"no labeled images under {dlcpath}")
+
+        raw = []
+        for ip, c in entries:
+            img = cv2.imread(str(ip))
+            if img is None:
+                continue
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            if scale != 1.0:
+                img = cv2.resize(img, (int(round(img.shape[1] * scale)),
+                                       int(round(img.shape[0] * scale))))
+            raw.append((img, np.asarray(c, np.float64) * scale))
+        hmax = max(i.shape[0] for i, _ in raw)
+        wmax = max(i.shape[1] for i, _ in raw)
+        s = int(cfg.stride)
+        self.canvas_hw = (-(-hmax // s) * s, -(-wmax // s) * s)
+        for img, c in raw:
+            canvas = np.zeros((*self.canvas_hw, 3), np.float32)
+            canvas[:img.shape[0], :img.shape[1]] = img
+            self.items.append((canvas, c.astype(np.float32)))
+
+    def __len__(self):
+        return len(self.items)
+
+    def batch(self, idxs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        imgs = np.stack([self.items[i][0] for i in idxs])
+        coords = np.stack([self.items[i][1] for i in idxs])
+        present = ~np.isnan(coords[..., 0])
+        return imgs, np.nan_to_num(coords), present
+
+
+# ---------------------------------------------------------------------------
+# step 0: DLC warm-start
+# ---------------------------------------------------------------------------
+
+def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
+            shuffle: int = 1, step: int = 0, saveiters: int = 1000,
+            displayiters: int = 100, maxiters: int = 200000,
+            trainingsetindex: int = 0, seed: int = 0,
+            compute_dtype=None) -> Path | None:
+    """Vanilla supervised training on labeled frames (ref: fitdgp.py:53-254)."""
+    proj, cfg, train_dir = resolve_project(dlcpath, shuffle, trainingsetindex)
+    if ckpt_lib.snapshot_exists(train_dir, step):
+        print(f"snapshot-step{step}-final--0 exists; skipping fit_dlc")
+        return ckpt_lib.latest_snapshot(train_dir, step)
+
+    data = _TrainLabeledImages(proj, cfg, dlcpath)
+    rng = np.random.default_rng(seed)
+    bs = max(int(cfg.batch_size), 1)
+
+    model, variables = init_model(
+        cfg, jax.random.PRNGKey(seed), data.canvas_hw,
+        dtype=_dtype(compute_dtype, cfg))
+    if snapshot:
+        snap_path = Path(train_dir) / f"{snapshot}{ckpt_lib.CKPT_SUFFIX}"
+        if snap_path.exists():
+            variables = ckpt_lib.restore_backbone_and_heads(variables, snap_path)
+
+    tx = steps_lib.make_optimizer(steps_lib.piecewise_lr(cfg.multi_step))
+    opt_state = tx.init(variables["params"])
+    train_step = steps_lib.make_dlc_train_step(model, cfg, tx)
+
+    def producer():
+        it = 0
+        while it < maxiters:
+            idxs = rng.integers(0, len(data), size=bs)
+            yield (it, *data.batch(idxs))
+            it += 1
+
+    def transfer(item):
+        it, imgs, coords, present = item
+        return (it, jax.device_put(imgs), jax.device_put(coords),
+                jax.device_put(present))
+
+    stats, t0 = [], time.time()
+    pf = DevicePrefetcher(producer(), transfer, depth=2)
+    for it, imgs, coords, present in pf:
+        variables, opt_state, out = train_step(
+            variables, opt_state, imgs, coords, present, it)
+        if displayiters and it % displayiters == 0:
+            loss = float(out["total_loss"])
+            print(f"[fit_dlc] iter {it}/{maxiters} loss {loss:.4f} "
+                  f"({time.time() - t0:.1f}s)", flush=True)
+            stats.append([it, loss])
+        if (saveiters and it > 0 and it % saveiters == 0):
+            ckpt_lib.save_snapshot(train_dir, step, it, variables, opt_state,
+                                   cfg.max_to_keep)
+    ckpt_lib.save_snapshot(train_dir, step, maxiters - 1, variables,
+                           opt_state, cfg.max_to_keep)
+    final = ckpt_lib.save_snapshot(train_dir, step, "final--0", variables)
+    if stats:
+        _log_stats(train_dir, stats, ["iteration", "loss"])
+    return final
+
+
+# ---------------------------------------------------------------------------
+# steps 1 & 2: DGP
+# ---------------------------------------------------------------------------
+
+def _dtype(compute_dtype, cfg: PoseConfig):
+    import jax.numpy as jnp
+
+    if compute_dtype is not None:
+        return compute_dtype
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+def _dgp_cfg_overrides(cfg: PoseConfig, step: int, batch_size: int,
+                       wt: float, gm2: int, gm3: int, nepoch: int,
+                       aug: bool) -> PoseConfig:
+    """DGP hyperparameters injected in code by the reference.
+
+    step 1 (ref: fitdgp.py:343-359): clique terms off, visible-only loss.
+    step 2 (ref: fitdgp.py:637-654): ws=1000, wn_v=5, wn_h=3, etc.
+    """
+    if step == 1:
+        return cfg.replace(ws=0.0, ws_max=1.2, wt=0.0, wt_max=0.0,
+                           wn_visible=1.0, wn_hidden=0.0, gamma=1.0,
+                           gauss_len=1.0, lengthscale=1.0, batch_size=1,
+                           lr=0.005, gm2=0, gm3=0, aug=aug,
+                           n_times_all_frames=nepoch)
+    return cfg.replace(ws=1000.0, ws_max=1.2, wt=wt, wt_max=0.0,
+                       wn_visible=5.0, wn_hidden=3.0, gamma=1.0,
+                       gauss_len=1.0, lengthscale=1.0, batch_size=batch_size,
+                       lr=0.005, gm2=gm2, gm3=gm3, aug=aug,
+                       n_times_all_frames=nepoch)
+
+
+def _make_loss_params(mds: MultiDataset, cfg: PoseConfig,
+                      S0: np.ndarray) -> DGPLossParams:
+    labels_list = [d.labels_rc for d in mds.datasets]
+    ws_vec, ws_max_vec = compute_spatial_bounds(
+        labels_list, S0, cfg.stride, cfg.ws, cfg.ws_max)
+    return DGPLossParams(
+        nj=cfg.num_joints, stride=cfg.stride, gamma=cfg.gamma,
+        gauss_len=cfg.gauss_len, lengthscale=cfg.lengthscale,
+        pos_dist_thresh=cfg.pos_dist_thresh, locref_stdev=cfg.locref_stdev,
+        locref_loss_weight=cfg.locref_loss_weight,
+        locref_huber_loss=cfg.locref_huber_loss, wn_visible=cfg.wn_visible,
+        wn_hidden=cfg.wn_hidden, wt=cfg.wt, wt_max=cfg.wt_max, gm2=cfg.gm2,
+        gm3=cfg.gm3,
+        n_visible_frames_total=float(max(mds.n_visible_frames_total, 1)),
+        n_hidden_frames_total=float(mds.n_hidden_frames_total),
+        S0=S0 if (cfg.ws > 0 and S0.shape[0] > 0) else np.zeros((0, cfg.num_joints)),
+        ws=ws_vec, ws_max=ws_max_vec)
+
+
+def fit_dgp_labeledonly(snapshot: str = "snapshot-step0-final--0",
+                        dlcpath: str | Path = ".", shuffle: int = 1,
+                        step: int = 1, saveiters: int = 1000,
+                        displayiters: int = 5, maxiters: int = 50000,
+                        ns: int = 10, n_max_frames: int = 2000,
+                        nepoch: int = 100, aug: bool = True, seed: int = 0,
+                        trainingsetindex: int = 0, compute_dtype=None,
+                        debug: str = "") -> Path | None:
+    """Step 1: DGP objective, visible-frame losses only
+    (ref: fitdgp.py:257-546 — one visible frame per iteration)."""
+    return _fit_dgp_impl(
+        snapshot=snapshot, dlcpath=dlcpath, shuffle=shuffle, step=step,
+        saveiters=saveiters, displayiters=displayiters, maxiters=maxiters,
+        batch_size=1, ns=ns, n_max_frames=n_max_frames, gm2=0, gm3=0,
+        nepoch=nepoch, wt=0.0, aug=aug, visible_only=True, seed=seed,
+        trainingsetindex=trainingsetindex, compute_dtype=compute_dtype,
+        debug=debug)
+
+
+def fit_dgp(snapshot: str = "snapshot-step1-final--0",
+            dlcpath: str | Path = ".", batch_size: int = 10,
+            shuffle: int = 1, step: int = 2, saveiters: int = 1000,
+            displayiters: int = 5, maxiters: int = 200000, ns: int = 10,
+            n_max_frames: int = 2000, gm2: int = 0, gm3: int = 0,
+            nepoch: int = 100, wt: float = 0.0, aug: bool = True,
+            seed: int = 0, trainingsetindex: int = 0, compute_dtype=None,
+            debug: str = "") -> Path | None:
+    """Step 2: full semi-supervised DGP (ref: fitdgp.py:549-845)."""
+    return _fit_dgp_impl(
+        snapshot=snapshot, dlcpath=dlcpath, shuffle=shuffle, step=step,
+        saveiters=saveiters, displayiters=displayiters, maxiters=maxiters,
+        batch_size=batch_size, ns=ns, n_max_frames=n_max_frames, gm2=gm2,
+        gm3=gm3, nepoch=nepoch, wt=wt, aug=aug, visible_only=False,
+        seed=seed, trainingsetindex=trainingsetindex,
+        compute_dtype=compute_dtype, debug=debug)
+
+
+def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
+                  maxiters, batch_size, ns, n_max_frames, gm2, gm3, nepoch,
+                  wt, aug, visible_only, seed, trainingsetindex,
+                  compute_dtype, debug) -> Path | None:
+    proj, cfg, train_dir = resolve_project(dlcpath, shuffle, trainingsetindex)
+    if ckpt_lib.snapshot_exists(train_dir, step, debug):
+        print(f"snapshot-step{step}{debug}-final--0 exists; skipping")
+        return ckpt_lib.latest_snapshot(train_dir, step, debug)
+
+    cfg = _dgp_cfg_overrides(cfg, step if not visible_only else 1,
+                             batch_size, wt, gm2, gm3, nepoch, aug)
+    S0 = proj.skeleton_incidence()
+    video_sets = dgp_video_sets(proj, dlcpath)
+    mds = MultiDataset(proj, cfg, video_sets, ns=ns,
+                       n_max_frames=n_max_frames,
+                       cache_dir=Path(dlcpath) / "motion_energy_cache")
+    loss_params = _make_loss_params(mds, cfg, S0)
+
+    rng = np.random.default_rng(seed)
+    pad_to = max(batch_size + 1, 2)
+
+    # model sized for the first video; per-video shapes compile on demand
+    d0 = mds.datasets[0]
+    model, variables = init_model(
+        cfg, jax.random.PRNGKey(seed), (d0.nx_in, d0.ny_in),
+        dtype=_dtype(compute_dtype, cfg))
+    snap_path = Path(train_dir) / f"{snapshot}{ckpt_lib.CKPT_SUFFIX}"
+    if snap_path.exists():
+        variables = ckpt_lib.restore_backbone_and_heads(variables, snap_path)
+    else:
+        print(f"warning: warm-start snapshot {snap_path} not found; "
+              "training from random init")
+
+    tx = steps_lib.make_optimizer(cfg.lr, momentum=0.9, clip_norm=10.0)
+    opt_state = tx.init(variables["params"])
+    train_step = steps_lib.make_dgp_train_step(
+        model, loss_params, tx, visible_only=visible_only)
+
+    augmenter = Augmenter(apply_prob=0.8) if (aug and wt == 0) else None
+
+    # schedule (ref: gen_batch for step 2; random visible frames for step 1)
+    if visible_only:
+        n_iters = min(maxiters,
+                      max(1, mds.n_visible_frames_total) * nepoch)
+        schedule = []
+        ds_choices = rng.choice(
+            len(mds.datasets), size=n_iters,
+            p=mds.batch_ratios if mds.batch_ratios.sum() > 0 else None)
+        for ds_i in ds_choices:
+            d = mds.datasets[int(ds_i)]
+            if len(d.visible_frames) == 0:
+                continue
+            f = d.visible_frames[rng.integers(len(d.visible_frames))]
+            schedule.append((int(ds_i), np.array([f])))
+    else:
+        schedule = generate_batch_schedule(
+            [d.visible_frames for d in mds.datasets],
+            [d.hidden_frames for d in mds.datasets],
+            [d.chunk for d in mds.datasets],
+            batch_size, nepoch, maxiters, seed=seed)
+    n_iters = len(schedule)
+    save_every = max(1, int(saveiters / max(batch_size, 1)))
+
+    def producer():
+        for it, (ds_i, frames) in enumerate(schedule):
+            d = mds.datasets[ds_i]
+            vis_set = set(int(f) for f in d.visible_frames)
+            vis = np.array([f for f in frames if int(f) in vis_set], np.int64)
+            hid = np.array([f for f in frames if int(f) not in vis_set],
+                           np.int64)
+            if vis.size == 0 and len(d.visible_frames) > 0:
+                # always anchor a visible frame (ref: fitdgp.py:755-758)
+                vis = np.array([d.visible_frames[
+                    rng.integers(len(d.visible_frames))]])
+            batch = assemble_batch(d, vis, hid, pad_to=pad_to, wt=cfg.wt,
+                                   compute_flow=cfg.wt > 0,
+                                   augmenter=augmenter, rng=rng)
+            yield it, batch
+
+    def transfer(item):
+        it, b = item
+        return it, jax.device_put(b.images), {
+            k: jax.device_put(v) for k, v in b.as_jnp().items()}
+
+    stats, t0 = [], time.time()
+    pf = DevicePrefetcher(producer(), transfer, depth=2)
+    name = "fit_dgp_labeledonly" if visible_only else "fit_dgp"
+    for it, images, batch in pf:
+        variables, opt_state, out = train_step(variables, opt_state, images,
+                                               batch)
+        if displayiters and it % displayiters == 0:
+            key = "total_loss_visible" if visible_only else "total_loss"
+            loss = float(out[key])
+            print(f"[{name}] iter {it}/{n_iters} loss {loss:.4f} "
+                  f"({time.time() - t0:.1f}s)", flush=True)
+            stats.append([it, loss])
+        if it > 0 and it % save_every == 0:
+            ckpt_lib.save_snapshot(train_dir, step, it, variables, opt_state,
+                                   cfg.max_to_keep, debug)
+    ckpt_lib.save_snapshot(train_dir, step, max(n_iters - 1, 0), variables,
+                           opt_state, cfg.max_to_keep, debug)
+    final = ckpt_lib.save_snapshot(train_dir, step, "final--0", variables,
+                                   debug=debug)
+    if stats:
+        _log_stats(train_dir, stats, ["iteration", "loss"])
+    return final

@@ -8,7 +8,10 @@ vars before jax is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the machine's sitecustomize registers the axon TPU backend and
+# pins JAX_PLATFORMS=axon, so a plain setdefault would leave tests running
+# through the TPU tunnel. Env must be set before jax is imported anywhere.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +20,12 @@ if "xla_force_host_platform_device_count" not in flags:
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
+
+# Persistent XLA compilation cache: backbone compiles dominate test wall time.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/dgp_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,189 @@
+"""Training-layer tests: checkpoints, train steps, 3-step fit pipeline smoke.
+
+Uses the mobilenet_v2_0.35 backbone for CPU speed; the step/loss plumbing is
+backbone-agnostic.
+"""
+
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+from deepgraphpose_tpu.core import checkpoint as ckpt_lib
+from deepgraphpose_tpu.core.config import PoseConfig
+from deepgraphpose_tpu.models.pose_model import init_model
+from deepgraphpose_tpu.ops.dgp_objective import DGPLossParams
+from deepgraphpose_tpu.train import steps as steps_lib
+from deepgraphpose_tpu.train.fit import fit_dlc, fit_dgp, fit_dgp_labeledonly
+
+
+def _small_cfg(nj=3):
+    return PoseConfig(num_joints=nj, net_type="mobilenet_v2_0.35",
+                      pos_dist_thresh=9)
+
+
+# ------------------------------------------------------------- checkpointing
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _small_cfg()
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (32, 32))
+    tx = steps_lib.make_optimizer(0.01, clip_norm=10.0)
+    opt_state = tx.init(variables["params"])
+
+    p = ckpt_lib.save_snapshot(tmp_path, 1, 42, variables, opt_state)
+    assert p.name == "snapshot-step1-42.ckpt"
+    v2, o2 = ckpt_lib.load_snapshot(p, variables, opt_state)
+    a = jax.tree_util.tree_leaves(variables)
+    b = jax.tree_util.tree_leaves(v2)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert (jax.tree_util.tree_structure(o2)
+            == jax.tree_util.tree_structure(opt_state))
+
+
+def test_checkpoint_pruning_and_latest(tmp_path):
+    cfg = _small_cfg()
+    _, variables = init_model(cfg, jax.random.PRNGKey(0), (32, 32))
+    for it in [10, 20, 30, 40, 50, 60, 70]:
+        ckpt_lib.save_snapshot(tmp_path, 2, it, variables, max_to_keep=3)
+    remaining = sorted(p.name for p in tmp_path.glob("*.ckpt"))
+    assert remaining == ["snapshot-step2-50.ckpt", "snapshot-step2-60.ckpt",
+                         "snapshot-step2-70.ckpt"]
+    assert ckpt_lib.latest_snapshot(tmp_path, 2).name == "snapshot-step2-70.ckpt"
+    ckpt_lib.save_snapshot(tmp_path, 2, "final--0", variables)
+    assert ckpt_lib.snapshot_exists(tmp_path, 2)
+    assert ckpt_lib.latest_snapshot(tmp_path, 2).name == \
+        "snapshot-step2-final--0.ckpt"
+
+
+def test_restore_backbone_and_heads_partial(tmp_path):
+    cfg = _small_cfg()
+    _, v1 = init_model(cfg, jax.random.PRNGKey(0), (32, 32))
+    p = ckpt_lib.save_snapshot(tmp_path, 0, "final--0", v1)
+    _, v2 = init_model(cfg, jax.random.PRNGKey(1), (32, 32))
+    merged = ckpt_lib.restore_backbone_and_heads(v2, p)
+    a = jax.tree_util.tree_leaves(v1)
+    b = jax.tree_util.tree_leaves(merged)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+# --------------------------------------------------------------- train steps
+
+def test_dlc_train_step_decreases_loss():
+    cfg = _small_cfg()
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (32, 32))
+    tx = steps_lib.make_optimizer(0.002)
+    opt_state = tx.init(variables["params"])
+    step = steps_lib.make_dlc_train_step(model, cfg, tx)
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(4, 28, (2, 3, 2)), jnp.float32)
+    present = jnp.ones((2, 3), bool)
+
+    losses = []
+    for it in range(8):
+        variables, opt_state, out = step(variables, opt_state, imgs, coords,
+                                         present, it)
+        losses.append(float(out["total_loss"]))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(losses))
+
+
+def test_dgp_train_step_runs_and_updates():
+    cfg = _small_cfg()
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (32, 32))
+    nj = 3
+    S0 = np.array([[1.0, -1.0, 0.0]])
+    lp = DGPLossParams(
+        nj=nj, stride=8.0, gamma=1.0, gauss_len=1.0, lengthscale=1.0,
+        pos_dist_thresh=9, locref_stdev=7.2801, locref_loss_weight=0.05,
+        locref_huber_loss=True, wn_visible=5.0, wn_hidden=3.0, wt=0.0,
+        wt_max=0.0, gm2=0, gm3=0, n_visible_frames_total=6.0,
+        n_hidden_frames_total=10.0, S0=S0, ws=np.array([2.0], np.float32),
+        ws_max=np.array([50.0], np.float32))
+    tx = steps_lib.make_optimizer(0.005, clip_norm=10.0)
+    opt_state = tx.init(variables["params"])
+    step = steps_lib.make_dgp_train_step(model, lp, tx)
+
+    rng = np.random.default_rng(0)
+    t = 3
+    imgs = jnp.asarray(rng.uniform(0, 255, (t, 32, 32, 3)), jnp.float32)
+    vis = np.zeros(t * nj, np.float32)
+    vis[:nj] = 1
+    batch = dict(
+        targets=jnp.asarray(rng.uniform(0, 3, (t, nj, 2)), jnp.float32),
+        visible_mask=jnp.asarray(vis),
+        hidden_mask=jnp.asarray(1 - vis),
+        frame_mask=jnp.ones(t),
+        wt_batch=jnp.zeros(t - 1),
+        pair_mask=jnp.ones(t - 1),
+        flow=jnp.zeros((t - 1, 32, 32)))
+    before = np.asarray(
+        jax.tree_util.tree_leaves(variables["params"])[0]).copy()
+    variables, opt_state, out = step(variables, opt_state, imgs, batch)
+    after = np.asarray(jax.tree_util.tree_leaves(variables["params"])[0])
+    assert np.isfinite(float(out["total_loss"]))
+    assert not np.array_equal(before, after)
+    assert float(out["ws_loss"]) >= 0
+
+
+def test_piecewise_lr_schedule():
+    sched = steps_lib.piecewise_lr([[0.005, 10], [0.02, 30], [0.002, 100]])
+    assert float(sched(0)) == pytest.approx(0.005)
+    assert float(sched(15)) == pytest.approx(0.02)
+    assert float(sched(50)) == pytest.approx(0.002)
+    assert float(sched(1000)) == pytest.approx(0.002)
+
+
+# ------------------------------------------------------------ pipeline smoke
+
+@pytest.fixture(scope="module")
+def tiny_project(tmp_path_factory):
+    """Synthetic project with a mobilenet pose_cfg for fast CPU training."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import make_synthetic_project
+
+    root = str(tmp_path_factory.mktemp("trainproj"))
+    make_synthetic_project(root, n_frames=30, n_labeled=4, hw=(48, 64))
+    cfg_path = Path(root, "dlc-models/iteration-0/SynthJan1-trainset95shuffle1",
+                    "train", "pose_cfg.yaml")
+    raw = yaml.safe_load(cfg_path.read_text())
+    raw["net_type"] = "mobilenet_v2_0.35"
+    raw["multi_step"] = [[0.002, 100000]]
+    cfg_path.write_text(yaml.safe_dump(raw))
+    return root
+
+
+@pytest.mark.slow
+def test_three_step_pipeline_smoke(tiny_project):
+    """End-to-end: step 0 -> 1 -> 2 with tiny iteration counts
+    (the reference's --test mode, run_dgp_demo.py:175-235)."""
+    root = tiny_project
+    snap0 = fit_dlc(dlcpath=root, maxiters=3, displayiters=1, saveiters=100)
+    assert snap0 is not None and snap0.name == "snapshot-step0-final--0.ckpt"
+
+    snap1 = fit_dgp_labeledonly(dlcpath=root, maxiters=2, displayiters=1,
+                                saveiters=100, ns=2, n_max_frames=20,
+                                nepoch=1, aug=False)
+    assert snap1.name == "snapshot-step1-final--0.ckpt"
+
+    snap2 = fit_dgp(dlcpath=root, batch_size=3, maxiters=3, displayiters=1,
+                    saveiters=100, ns=2, n_max_frames=20, nepoch=1,
+                    aug=False)
+    assert snap2.name == "snapshot-step2-final--0.ckpt"
+
+    # idempotency: skip-if-done returns the existing final snapshot
+    again = fit_dgp(dlcpath=root, batch_size=3, maxiters=3, ns=2,
+                    n_max_frames=20, nepoch=1)
+    assert again.name == "snapshot-step2-final--0.ckpt"
+
+    stats = Path(root, "dlc-models/iteration-0/SynthJan1-trainset95shuffle1",
+                 "train", "learning_stats.csv")
+    assert stats.exists()
