@@ -1,0 +1,145 @@
+"""Evaluation: per-keypoint pixel RMSE on train/test labeled frames.
+
+ref: src/deepgraphpose/models/eval.py:656-813 (evaluate_dgp) and
+deeplabcut/pose_estimation_tensorflow/evaluate.py:22-32 (pairwisedistances
+with pcutoff masking).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def pairwise_distances(pred_xy: np.ndarray, true_xy: np.ndarray,
+                       likelihood: np.ndarray | None = None,
+                       pcutoff: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+    """Per (frame, joint) euclidean pixel error; optionally masked by pcutoff.
+
+    Returns (rmse_all, rmse_pcutoff), each (n_frames, nj) with NaN where the
+    ground truth is missing (or below the likelihood cutoff for the second).
+    """
+    d = np.sqrt(np.sum((pred_xy - true_xy) ** 2, axis=-1))
+    rmse_all = d.copy()
+    rmse_cut = d.copy()
+    if likelihood is not None:
+        rmse_cut[likelihood < pcutoff] = np.nan
+    return rmse_all, rmse_cut
+
+
+def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
+                 shuffle: int = 1, pcutoff: float | None = None,
+                 compute_dtype=None) -> dict:
+    """RMSE vs human labels over the train/test split.
+
+    Runs the eval graph per labeled image (batched per unique image size),
+    decodes with soft-argmax (the reference's 'dgp' mode), and reports mean
+    train/test pixel error. Returns a dict with per-frame tables and summary
+    scalars.
+    """
+    import jax
+
+    from deepgraphpose_tpu.core import checkpoint as ckpt_lib
+    from deepgraphpose_tpu.data import project as project_io
+    from deepgraphpose_tpu.infer.predict import make_infer_fn
+    from deepgraphpose_tpu.models.pose_model import init_model
+    from deepgraphpose_tpu.train.fit import resolve_project
+
+    dlcpath = Path(proj_cfg_file).parent
+    proj, cfg, train_dir = resolve_project(dlcpath, shuffle)
+    if pcutoff is None:
+        pcutoff = proj.pcutoff
+
+    # labeled data + split
+    mat_path = dlcpath / cfg.dataset if cfg.dataset else None
+    entries: list[tuple[Path, np.ndarray, bool]] = []  # (img, xy, is_train)
+    if mat_path and mat_path.exists():
+        ts = project_io.read_training_set(
+            mat_path, dlcpath / cfg.metadataset if cfg.metadataset else None)
+        coords = ts.coords_for(cfg.num_joints)
+        train_set = set(int(i) for i in ts.train_indices)
+        # .mat holds train items only when doc indices cover more images
+        for i, (p, c) in enumerate(zip(ts.image_paths, coords)):
+            entries.append((dlcpath / p, c, i in train_set or
+                            len(train_set) >= len(ts.image_paths)))
+    else:
+        for vdir in sorted((dlcpath / "labeled-data").glob("*")):
+            try:
+                labels = project_io.read_labels(vdir, proj.scorer)
+            except FileNotFoundError:
+                continue
+            for p, c in zip(labels.image_paths, labels.coords_xy):
+                ip = dlcpath / p
+                if ip.exists():
+                    entries.append((ip, c, True))
+    if not entries:
+        raise FileNotFoundError(f"no labeled data under {dlcpath}")
+
+    import cv2
+    import jax.numpy as jnp
+
+    # group by image size to keep shapes static per jit
+    by_size: dict[tuple[int, int], list[int]] = {}
+    images, coords, is_train = [], [], []
+    for i, (p, c, tr) in enumerate(entries):
+        img = cv2.imread(str(p))
+        if img is None:
+            continue
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        by_size.setdefault(img.shape[:2], []).append(len(images))
+        images.append(img)
+        coords.append(c)
+        is_train.append(tr)
+    coords = np.asarray(coords)
+    is_train = np.asarray(is_train)
+
+    dtype = compute_dtype
+    if dtype is None:
+        dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                 else jnp.float32)
+
+    pred_xy = np.full_like(coords, np.nan)
+    lik = np.zeros(coords.shape[:2])
+    for (h, w), idxs in by_size.items():
+        model, variables = init_model(cfg, jax.random.PRNGKey(0), (h, w),
+                                      dtype=dtype)
+        variables, _ = ckpt_lib.load_snapshot(dgp_model_file, variables)
+        infer = make_infer_fn(model, cfg)
+        for i in idxs:
+            mu, l = infer(variables, jnp.asarray(images[i][None]))
+            mu = np.asarray(mu)[0]
+            pred_xy[i, :, 0] = mu[:, 1] * cfg.stride + cfg.stride / 2
+            pred_xy[i, :, 1] = mu[:, 0] * cfg.stride + cfg.stride / 2
+            lik[i] = np.asarray(l)[0]
+
+    rmse_all, rmse_cut = pairwise_distances(pred_xy, coords, lik, pcutoff)
+    out = {
+        "pred_xy": pred_xy, "true_xy": coords, "likelihood": lik,
+        "is_train": is_train, "rmse": rmse_all, "rmse_pcutoff": rmse_cut,
+        "train_error": float(np.nanmean(rmse_all[is_train])),
+        "test_error": (float(np.nanmean(rmse_all[~is_train]))
+                       if (~is_train).any() else float("nan")),
+        "train_error_pcutoff": float(np.nanmean(rmse_cut[is_train]))
+        if np.isfinite(rmse_cut[is_train]).any() else float("nan"),
+    }
+    print(f"[evaluate_dgp] train RMSE {out['train_error']:.2f} px, "
+          f"test RMSE {out['test_error']:.2f} px")
+    return out
+
+
+def write_evaluation_csv(out: dict, path: str | Path,
+                         joints_names: list | None = None) -> None:
+    """Persist the per-frame RMSE table (ref: evaluate.py results CSV)."""
+    import csv
+
+    rmse = out["rmse"]
+    nj = rmse.shape[1]
+    names = joints_names or [f"bp{i}" for i in range(nj)]
+    with open(path, "w", newline="") as f:
+        wr = csv.writer(f)
+        wr.writerow(["frame", "split"] + names)
+        for i in range(rmse.shape[0]):
+            wr.writerow([i, "train" if out["is_train"][i] else "test"]
+                        + [f"{v:.3f}" if np.isfinite(v) else ""
+                           for v in rmse[i]])

@@ -1,0 +1,68 @@
+"""Trajectory export in DLC format (CSV + HDF5).
+
+ref: eval.py:621-645 (export_pose_like_dlc) — a (scorer, bodyparts,
+[x, y, likelihood]) MultiIndex table. CSV layout is byte-compatible with
+pandas' MultiIndex serialization; the H5 is written via h5py (pandas
+pytables is unavailable here) in a simple self-describing layout.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def export_pose_like_dlc(labels: dict, scorer: str, joints_names: list,
+                         save_file: str) -> None:
+    """Write <save_file>.csv and <save_file>.h5."""
+    x, y, lik = labels["x"], labels["y"], labels["likelihoods"]
+    n_frames, nj = x.shape
+    data = np.empty((n_frames, 3 * nj), dtype=np.float64)
+    data[:, 0::3] = x
+    data[:, 1::3] = y
+    data[:, 2::3] = lik
+
+    # ---- CSV (pandas MultiIndex-compatible header rows) ----
+    with open(save_file + ".csv", "w", newline="") as f:
+        f.write("scorer," + ",".join([scorer] * 3 * nj) + "\n")
+        f.write("bodyparts," + ",".join(
+            [bp for bp in joints_names for _ in range(3)]) + "\n")
+        f.write("coords," + ",".join(["x", "y", "likelihood"] * nj) + "\n")
+        for i in range(n_frames):
+            f.write(str(i) + "," + ",".join(repr(float(v))
+                                            for v in data[i]) + "\n")
+
+    # ---- HDF5 via h5py ----
+    import h5py
+
+    with h5py.File(save_file + ".h5", "w") as f:
+        g = f.create_group("df_with_missing")
+        g.attrs["scorer"] = scorer
+        g.create_dataset("data", data=data)
+        g.create_dataset("bodyparts",
+                         data=np.array(joints_names, dtype="S"))
+        g.create_dataset("coords", data=np.array(["x", "y", "likelihood"],
+                                                 dtype="S"))
+        g.create_dataset("index", data=np.arange(n_frames))
+
+
+def load_pose_from_dlc(filename: str) -> dict:
+    """Read a DLC-format trajectory CSV back into {'x','y','likelihoods'}
+    (ref: eval.py:648-653 load_pose_from_dlc_to_dict)."""
+    rows = []
+    with open(filename) as f:
+        lines = f.read().strip().split("\n")
+    for line in lines[3:]:
+        rows.append([float(v) for v in line.split(",")[1:]])
+    arr = np.asarray(rows, dtype=np.float64)
+    return {"x": arr[:, 0::3], "y": arr[:, 1::3], "likelihoods": arr[:, 2::3]}
+
+
+def load_pose_h5(filename: str) -> dict:
+    import h5py
+
+    with h5py.File(filename, "r") as f:
+        data = f["df_with_missing"]["data"][()]
+    return {"x": data[:, 0::3], "y": data[:, 1::3],
+            "likelihoods": data[:, 2::3]}

@@ -1,0 +1,188 @@
+"""Batched streaming full-video inference.
+
+The reference runs ONE frame per Session.run (ref: eval.py:306-345
+estimate_pose) — SURVEY §3.4 names this the biggest win for the rebuild.
+Here: host decodes frames sequentially into fixed-size uint8 batches on a
+background thread, transfers them while the previous batch computes, and a
+single jitted program does forward + soft-argmax + likelihood for the whole
+batch. uint8 travels over PCIe/DMA (4x less than f32); normalization happens
+on device.
+
+Decode semantics match the reference:
+* mu from ``argmax_2d_from_cm`` (softmax -> gaussian smooth -> expectation),
+* pixel coords = mu * stride + stride/2, flipped to (x, y) and rescaled by
+  any resize factors (ref: eval.py:352-356),
+* likelihood = max sigmoid(scoremap logit) over the 2x2 cells around mu
+  (ref: eval.py:331-343).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepgraphpose_tpu.core import checkpoint as ckpt_lib
+from deepgraphpose_tpu.core.config import PoseConfig
+from deepgraphpose_tpu.data.prefetch import DevicePrefetcher
+from deepgraphpose_tpu.data.video import VideoReader
+from deepgraphpose_tpu.infer.export import export_pose_like_dlc
+from deepgraphpose_tpu.models.pose_model import init_model
+from deepgraphpose_tpu.ops.softargmax import softargmax_2d
+
+
+def make_infer_fn(model, cfg: PoseConfig):
+    """Jitted (variables, uint8 images) -> (mu_rc, likelihood)."""
+
+    @jax.jit
+    def infer(variables, images_u8):
+        images = images_u8.astype(jnp.float32)
+        heads = model.apply(variables, images)
+        pred = heads["part_pred"]                    # (B, H, W, nj) logits
+        mu, _ = softargmax_2d(pred, gamma=cfg.gamma, gauss_len=cfg.gauss_len)
+
+        b, h, w, nj = pred.shape
+        r0 = jnp.clip(jnp.floor(mu[..., 0]).astype(jnp.int32), 0, h - 1)
+        c0 = jnp.clip(jnp.floor(mu[..., 1]).astype(jnp.int32), 0, w - 1)
+        bi = jax.lax.broadcasted_iota(jnp.int32, (b, nj), 0)
+        ji = jax.lax.broadcasted_iota(jnp.int32, (b, nj), 1)
+
+        def at(dr, dc):
+            r = jnp.clip(r0 + dr, 0, h - 1)
+            c = jnp.clip(c0 + dc, 0, w - 1)
+            return pred[bi, r, c, ji]
+
+        best = jnp.maximum(jnp.maximum(at(0, 0), at(0, 1)),
+                           jnp.maximum(at(1, 0), at(1, 1)))
+        likelihood = jax.nn.sigmoid(best)
+        return mu, likelihood
+
+    return infer
+
+
+def _batch_producer(reader: VideoReader, batch_size: int,
+                    new_size=None, crop=None, max_frames=None):
+    """Yield (start_index, n_valid, uint8 batch) with last-batch padding."""
+    import cv2
+
+    buf, start = [], 0
+    n = 0
+    for i, frame in reader.iter_frames():
+        if max_frames is not None and i >= max_frames:
+            break
+        if new_size is not None:
+            frame = cv2.resize(frame, (new_size[1], new_size[0]))
+        if crop is not None:
+            x0, y0, x1, y1 = crop
+            frame = frame[y0:y1, x0:x1]
+        buf.append(frame)
+        n += 1
+        if len(buf) == batch_size:
+            yield start, batch_size, np.stack(buf)
+            start += batch_size
+            buf = []
+    if buf:
+        pad = batch_size - len(buf)
+        arr = np.stack(buf + [buf[-1]] * pad)
+        yield start, len(buf), arr
+
+
+def estimate_pose(proj_cfg_file: str | Path | None,
+                  dgp_model_file: str | Path,
+                  video_file: str | Path,
+                  output_dir: str | Path,
+                  shuffle: int = 1,
+                  save_pose: bool = True,
+                  save_str: str = "",
+                  new_size: tuple | None = None,
+                  crop: tuple | None = None,
+                  batch_size: int | None = None,
+                  max_frames: int | None = None,
+                  pose_cfg: PoseConfig | None = None,
+                  variables=None, model=None,
+                  compute_dtype=None) -> dict:
+    """Full-video inference; returns {'x','y','likelihoods'} (T, nj) arrays.
+
+    API mirrors the reference's estimate_pose (ref: eval.py:217-372),
+    including skip-if-CSV-exists and DLC-format CSV/H5 export.
+    """
+    video_file = Path(video_file)
+    output_dir = Path(output_dir)
+    save_file = output_dir / (video_file.stem + save_str)
+    if save_pose and (save_file.with_suffix(".csv")).exists():
+        print(f"{save_file}.csv exists; skipping inference")
+        from deepgraphpose_tpu.infer.export import load_pose_from_dlc
+        return load_pose_from_dlc(str(save_file) + ".csv")
+
+    if pose_cfg is None:
+        from deepgraphpose_tpu.train.fit import resolve_project
+
+        _, pose_cfg, _ = resolve_project(Path(proj_cfg_file).parent, shuffle)
+
+    reader = VideoReader(video_file)
+    in_h, in_w = (new_size if new_size is not None
+                  else (reader.height, reader.width))
+    if crop is not None:
+        in_h, in_w = crop[3] - crop[1], crop[2] - crop[0]
+    scale_x = reader.width / in_w if new_size is not None else 1.0
+    scale_y = reader.height / in_h if new_size is not None else 1.0
+
+    if batch_size is None:
+        batch_size = pose_cfg.infer_batch_size
+
+    if model is None or variables is None:
+        import jax.numpy as _jnp
+
+        dtype = compute_dtype
+        if dtype is None:
+            dtype = (_jnp.bfloat16 if pose_cfg.compute_dtype == "bfloat16"
+                     else _jnp.float32)
+        model, variables = init_model(pose_cfg, jax.random.PRNGKey(0),
+                                      (in_h, in_w), dtype=dtype)
+        variables, _ = ckpt_lib.load_snapshot(dgp_model_file, variables)
+
+    infer = make_infer_fn(model, pose_cfg)
+
+    n_total = (min(reader.n_frames, max_frames) if max_frames
+               else reader.n_frames)
+    nj = pose_cfg.num_joints
+    mu_all = np.zeros((n_total, nj, 2), np.float64)
+    lik_all = np.zeros((n_total, nj), np.float64)
+
+    producer = _batch_producer(reader, batch_size, new_size, crop, max_frames)
+    pf = DevicePrefetcher(
+        producer, lambda item: (item[0], item[1], jax.device_put(item[2])),
+        depth=3)
+    t0 = time.time()
+    done = 0
+    for start, n_valid, images in pf:
+        mu, lik = infer(variables, images)
+        mu = np.asarray(mu[:n_valid])
+        lik = np.asarray(lik[:n_valid])
+        end = min(start + n_valid, n_total)
+        mu_all[start:end] = mu[:end - start]
+        lik_all[start:end] = lik[:end - start]
+        done = end
+    dt = time.time() - t0
+    reader.close()
+    fps = done / dt if dt > 0 else float("inf")
+    print(f"[estimate_pose] {done} frames in {dt:.2f}s = {fps:.1f} frames/s")
+
+    stride = pose_cfg.stride
+    xr = (mu_all[:, :, 1] * stride + 0.5 * stride) * scale_x
+    yr = (mu_all[:, :, 0] * stride + 0.5 * stride) * scale_y
+    if crop is not None:
+        xr = xr + crop[0]
+        yr = yr + crop[1]
+    labels = {"x": xr, "y": yr, "likelihoods": lik_all}
+
+    if save_pose:
+        output_dir.mkdir(parents=True, exist_ok=True)
+        export_pose_like_dlc(labels, Path(dgp_model_file).stem,
+                             pose_cfg.all_joints_names or
+                             [f"bp{i}" for i in range(nj)], str(save_file))
+    return labels
