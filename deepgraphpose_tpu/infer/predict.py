@@ -35,33 +35,33 @@ from deepgraphpose_tpu.models.pose_model import init_model
 from deepgraphpose_tpu.ops.softargmax import softargmax_2d
 
 
+def infer_forward(model, cfg: PoseConfig, variables, images_u8):
+    """(variables, uint8 images) -> (mu_rc, likelihood); trace-time pure."""
+    images = images_u8.astype(jnp.float32)
+    heads = model.apply(variables, images)
+    pred = heads["part_pred"]                    # (B, H, W, nj) logits
+    mu, _ = softargmax_2d(pred, gamma=cfg.gamma, gauss_len=cfg.gauss_len)
+
+    b, h, w, nj = pred.shape
+    r0 = jnp.clip(jnp.floor(mu[..., 0]).astype(jnp.int32), 0, h - 1)
+    c0 = jnp.clip(jnp.floor(mu[..., 1]).astype(jnp.int32), 0, w - 1)
+    bi = jax.lax.broadcasted_iota(jnp.int32, (b, nj), 0)
+    ji = jax.lax.broadcasted_iota(jnp.int32, (b, nj), 1)
+
+    def at(dr, dc):
+        r = jnp.clip(r0 + dr, 0, h - 1)
+        c = jnp.clip(c0 + dc, 0, w - 1)
+        return pred[bi, r, c, ji]
+
+    best = jnp.maximum(jnp.maximum(at(0, 0), at(0, 1)),
+                       jnp.maximum(at(1, 0), at(1, 1)))
+    likelihood = jax.nn.sigmoid(best)
+    return mu, likelihood
+
+
 def make_infer_fn(model, cfg: PoseConfig):
     """Jitted (variables, uint8 images) -> (mu_rc, likelihood)."""
-
-    @jax.jit
-    def infer(variables, images_u8):
-        images = images_u8.astype(jnp.float32)
-        heads = model.apply(variables, images)
-        pred = heads["part_pred"]                    # (B, H, W, nj) logits
-        mu, _ = softargmax_2d(pred, gamma=cfg.gamma, gauss_len=cfg.gauss_len)
-
-        b, h, w, nj = pred.shape
-        r0 = jnp.clip(jnp.floor(mu[..., 0]).astype(jnp.int32), 0, h - 1)
-        c0 = jnp.clip(jnp.floor(mu[..., 1]).astype(jnp.int32), 0, w - 1)
-        bi = jax.lax.broadcasted_iota(jnp.int32, (b, nj), 0)
-        ji = jax.lax.broadcasted_iota(jnp.int32, (b, nj), 1)
-
-        def at(dr, dc):
-            r = jnp.clip(r0 + dr, 0, h - 1)
-            c = jnp.clip(c0 + dc, 0, w - 1)
-            return pred[bi, r, c, ji]
-
-        best = jnp.maximum(jnp.maximum(at(0, 0), at(0, 1)),
-                           jnp.maximum(at(1, 0), at(1, 1)))
-        likelihood = jax.nn.sigmoid(best)
-        return mu, likelihood
-
-    return infer
+    return jax.jit(functools.partial(infer_forward, model, cfg))
 
 
 def _batch_producer(reader: VideoReader, batch_size: int,

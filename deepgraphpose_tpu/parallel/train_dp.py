@@ -1,0 +1,79 @@
+"""Data-parallel DGP training over a device mesh.
+
+Unit of data parallelism: one DGP *window* (a contiguous batch of frames
+from one video). A global batch of G windows, each T frames, is sharded
+G-over-devices; each device evaluates the full masked DGP objective on its
+windows (temporal pairs never cross a window, so no halo is needed for
+training), losses are averaged and gradients all-reduce over ICI — all
+emitted by XLA from jit + NamedSharding, no hand-written collectives
+(SURVEY §2d TPU-native equivalent of the unused tower helper
+helpers/utils_tf.py:81-209).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from deepgraphpose_tpu.ops.dgp_objective import DGPLossParams, dgp_loss
+from deepgraphpose_tpu.parallel.mesh import DATA_AXIS
+
+
+def make_dp_dgp_train_step(model, params_obj: DGPLossParams,
+                           tx: optax.GradientTransformation, mesh,
+                           visible_only: bool = False):
+    """Jitted DP train step.
+
+    Inputs:
+      images: (G, T, H, W, 3) float32 — G sharded over the data axis.
+      batch:  pytree with leading axis G (targets, masks, flow, ...).
+    Parameters and optimizer state are replicated.
+    """
+    key = "total_loss_visible" if visible_only else "total_loss"
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+
+    def window_loss(params, rest, images, batch):
+        heads = model.apply({"params": params, **rest}, images)
+        out = dgp_loss(heads["part_pred"], heads["locref"], batch, params_obj)
+        return out[key], out
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, repl, shard, shard),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1))
+    def step(variables, opt_state, images, batch):
+        params = variables["params"]
+        rest = {k: v for k, v in variables.items() if k != "params"}
+
+        def mean_loss(p):
+            losses, outs = jax.vmap(
+                lambda im, b: window_loss(p, rest, im, b))(images, batch)
+            return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, outs)
+
+        grads, out = jax.grad(mean_loss, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return {"params": params, **rest}, opt_state, out
+
+    return step
+
+
+def make_dp_infer_fn(model, cfg, mesh):
+    """Sharded batched inference: frames sharded over the data axis.
+
+    Decode has no cross-frame coupling, so time-sharding a video across
+    chips is embarrassingly parallel (SURVEY §5 long-context note); mu and
+    likelihood gather back replicated.
+    """
+    from deepgraphpose_tpu.infer.predict import infer_forward
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(functools.partial(infer_forward, model, cfg),
+                   in_shardings=(repl, shard), out_shardings=(shard, shard))

@@ -24,6 +24,10 @@ if REPO_ROOT not in sys.path:
 # Persistent XLA compilation cache: backbone compiles dominate test wall time.
 import jax  # noqa: E402
 
+# The machine's sitecustomize registers the axon TPU plugin and pins the
+# platform via jax.config, so the env var alone does not win — override
+# through the config API as well.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/dgp_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
