@@ -74,6 +74,54 @@ def _log_stats(train_dir: Path, rows: list, header: list) -> None:
         wr.writerows(rows)
 
 
+def _tf_ckpt_exists(prefix: Path) -> bool:
+    """True if ``prefix`` names a TF checkpoint (prefix + .index file)."""
+    return Path(str(prefix) + ".index").exists()
+
+
+def _warm_start(variables: dict, cfg: PoseConfig, train_dir: Path,
+                snapshot: str | None, allow_init_weights: bool = True) -> dict:
+    """Restore backbone+heads from (in order of preference):
+
+    1. our msgpack snapshot ``<train_dir>/<snapshot>.ckpt``,
+    2. a TF1 snapshot ``<train_dir>/<snapshot>`` (prefix with .index) — the
+       reference's ``--dlcsnapshot`` hand-off (ref: fitdgp.py:132-149),
+    3. ``cfg.init_weights`` as a TF checkpoint (slim ImageNet
+       ``resnet_v1_50.ckpt``; backbone scope only, ref: fitdgp.py:119-127).
+    """
+    if snapshot:
+        snap_path = Path(train_dir) / f"{snapshot}{ckpt_lib.CKPT_SUFFIX}"
+        if snap_path.exists():
+            return ckpt_lib.restore_backbone_and_heads(variables, snap_path)
+        tf_prefix = Path(train_dir) / snapshot
+        if _tf_ckpt_exists(tf_prefix):
+            from deepgraphpose_tpu.models import tf_import
+
+            variables, report = tf_import.import_tf_checkpoint(
+                variables, str(tf_prefix), net_type=cfg.net_type,
+                scopes=("resnet", "pose"))
+            print(f"imported TF1 snapshot {tf_prefix} "
+                  f"({len(report['imported'])} vars)")
+            return variables
+    if allow_init_weights and cfg.init_weights:
+        init_prefix = Path(cfg.init_weights)
+        if not init_prefix.is_absolute() and cfg.project_path:
+            init_prefix = Path(cfg.project_path) / init_prefix
+        if _tf_ckpt_exists(init_prefix):
+            from deepgraphpose_tpu.models import tf_import
+
+            variables, report = tf_import.import_tf_checkpoint(
+                variables, str(init_prefix), net_type=cfg.net_type,
+                scopes=("resnet",))
+            print(f"imported ImageNet init {init_prefix} "
+                  f"({len(report['imported'])} vars)")
+            return variables
+    if snapshot:
+        print(f"warning: warm-start snapshot {snapshot} not found under "
+              f"{train_dir}; training from random init")
+    return variables
+
+
 class _TrainLabeledImages:
     """Labeled-frame image set for step 0, on a fixed canvas.
 
@@ -166,10 +214,7 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
     model, variables = init_model(
         cfg, jax.random.PRNGKey(seed), data.canvas_hw,
         dtype=_dtype(compute_dtype, cfg))
-    if snapshot:
-        snap_path = Path(train_dir) / f"{snapshot}{ckpt_lib.CKPT_SUFFIX}"
-        if snap_path.exists():
-            variables = ckpt_lib.restore_backbone_and_heads(variables, snap_path)
+    variables = _warm_start(variables, cfg, Path(train_dir), snapshot)
 
     tx = steps_lib.make_optimizer(steps_lib.piecewise_lr(cfg.multi_step))
     opt_state = tx.init(variables["params"])
@@ -323,12 +368,8 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
     model, variables = init_model(
         cfg, jax.random.PRNGKey(seed), (d0.nx_in, d0.ny_in),
         dtype=_dtype(compute_dtype, cfg))
-    snap_path = Path(train_dir) / f"{snapshot}{ckpt_lib.CKPT_SUFFIX}"
-    if snap_path.exists():
-        variables = ckpt_lib.restore_backbone_and_heads(variables, snap_path)
-    else:
-        print(f"warning: warm-start snapshot {snap_path} not found; "
-              "training from random init")
+    variables = _warm_start(variables, cfg, Path(train_dir), snapshot,
+                            allow_init_weights=False)
 
     tx = steps_lib.make_optimizer(cfg.lr, momentum=0.9, clip_norm=10.0)
     opt_state = tx.init(variables["params"])
