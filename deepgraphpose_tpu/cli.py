@@ -1,0 +1,266 @@
+"""``dgp`` command-line interface.
+
+Command surface mirrors the reference's click-based ``dlc`` group
+(ref: deeplabcut/cli.py:19-417) plus the DGP pipeline driver
+(ref: demo/run_dgp_demo.py:117-147):
+
+    dgp create-project   dgp add-videos          dgp extract-frames
+    dgp check-labels     dgp create-training-dataset
+    dgp train            dgp evaluate            dgp analyze-videos
+    dgp filter-predictions  dgp extract-outlier-frames
+    dgp create-labeled-video  dgp plot-trajectories
+    dgp run-demo         (the 4-step DGP pipeline)
+
+Run ``python -m deepgraphpose_tpu.cli --help``.
+"""
+
+from __future__ import annotations
+
+import click
+
+CTX = dict(help_option_names=["-h", "--help"])
+
+
+@click.group(context_settings=CTX)
+def main():
+    """TPU-native DeepGraphPose toolbox."""
+
+
+@main.command(context_settings=CTX)
+@click.argument("project")
+@click.argument("experimenter")
+@click.argument("videos", nargs=-1, type=click.Path(exists=True))
+@click.option("-d", "--wd", "working_directory", default=None,
+              help="directory to create the project in")
+@click.option("--copy-videos/--dont-copy-videos", default=True)
+@click.option("--videotype", default=".avi")
+def create_project(project, experimenter, videos, working_directory,
+                   copy_videos, videotype):
+    """Create a new DLC/DGP project skeleton."""
+    from deepgraphpose_tpu.project import create_new_project
+
+    path = create_new_project(project, experimenter, list(videos),
+                              working_directory, copy_videos, videotype)
+    click.echo(path)
+
+
+@main.command(context_settings=CTX)
+@click.argument("config", type=click.Path(exists=True))
+@click.argument("videos", nargs=-1, type=click.Path(exists=True))
+@click.option("--copy-videos/--dont-copy-videos", default=True)
+def add_videos(config, videos, copy_videos):
+    """Add videos to an existing project."""
+    from deepgraphpose_tpu.project import add_new_videos
+
+    add_new_videos(config, list(videos), copy_videos)
+
+
+@main.command(context_settings=CTX)
+@click.argument("config", type=click.Path(exists=True))
+@click.option("-a", "--algo", default="kmeans",
+              type=click.Choice(["kmeans", "uniform"]))
+@click.option("--crop", is_flag=True, default=False)
+def extract_frames(config, algo, crop):
+    """Extract frames for labeling (kmeans or uniform selection)."""
+    from deepgraphpose_tpu.project import extract_frames as _extract
+
+    _extract(config, algo=algo, crop=crop)
+
+
+@main.command(context_settings=CTX)
+@click.argument("config", type=click.Path(exists=True))
+def check_labels(config):
+    """Render human labels onto the labeled frames for inspection."""
+    from deepgraphpose_tpu.infer.plotting import check_labels as _check
+
+    _check(config)
+
+
+@main.command(context_settings=CTX)
+@click.argument("config", type=click.Path(exists=True))
+@click.option("-num", "--num-shuffles", default=1)
+@click.option("--net-type", default=None)
+def create_training_dataset(config, num_shuffles, net_type):
+    """Merge labels, split train/test, write .mat + pose_cfg.yaml."""
+    from deepgraphpose_tpu.project import \
+        create_training_dataset as _create
+
+    _create(config, num_shuffles=num_shuffles, net_type=net_type)
+
+
+@main.command(context_settings=CTX)
+@click.argument("config", type=click.Path(exists=True))
+@click.option("--shuffle", default=1)
+@click.option("--step", default=None, type=int,
+              help="run only one step (0=DLC, 1=DGP labeled-only, 2=DGP)")
+@click.option("--batch-size", default=10)
+@click.option("--maxiters", default=None, type=int)
+@click.option("--displayiters", default=100)
+@click.option("--saveiters", default=1000)
+@click.option("--snapshot", default=None,
+              help="warm-start snapshot name for the chosen step")
+def train(config, shuffle, step, batch_size, maxiters, displayiters,
+          saveiters, snapshot):
+    """Train: all 3 steps by default, or a single --step."""
+    from pathlib import Path
+
+    from deepgraphpose_tpu.train import fit as fit_lib
+
+    dlcpath = Path(config).parent
+    kw = dict(dlcpath=dlcpath, shuffle=shuffle, displayiters=displayiters,
+              saveiters=saveiters)
+    if maxiters is not None:
+        kw["maxiters"] = maxiters
+    steps = [step] if step is not None else [0, 1, 2]
+    for s in steps:
+        if s == 0:
+            fit_lib.fit_dlc(snapshot=snapshot, **kw)
+        elif s == 1:
+            fit_lib.fit_dgp_labeledonly(
+                snapshot=snapshot or "snapshot-step0-final--0", **kw)
+        else:
+            fit_lib.fit_dgp(
+                snapshot=snapshot or "snapshot-step1-final--0",
+                batch_size=batch_size, **kw)
+
+
+@main.command(context_settings=CTX)
+@click.argument("config", type=click.Path(exists=True))
+@click.option("--shuffle", default=1)
+@click.option("--snapshot", default=None,
+              help="snapshot name (defaults to latest step-2 final)")
+@click.option("--out", default=None, help="write per-frame RMSE CSV here")
+def evaluate(config, shuffle, snapshot, out):
+    """RMSE vs human labels on the train/test split."""
+    from pathlib import Path
+
+    from deepgraphpose_tpu.core import checkpoint as ckpt_lib
+    from deepgraphpose_tpu.evaluation.metrics import (evaluate_dgp,
+                                                      write_evaluation_csv)
+    from deepgraphpose_tpu.train.fit import resolve_project
+
+    dlcpath = Path(config).parent
+    _, _, train_dir = resolve_project(dlcpath, shuffle)
+    if snapshot:
+        snap = Path(train_dir) / f"{snapshot}{ckpt_lib.CKPT_SUFFIX}"
+    else:
+        snap = ckpt_lib.latest_snapshot(train_dir)
+    if snap is None or not Path(snap).exists():
+        raise click.ClickException(f"no snapshot under {train_dir}")
+    result = evaluate_dgp(config, snap, shuffle=shuffle)
+    if out:
+        write_evaluation_csv(result, out)
+
+
+@main.command(context_settings=CTX)
+@click.argument("config", type=click.Path(exists=True))
+@click.argument("videos", nargs=-1, type=click.Path(exists=True))
+@click.option("--shuffle", default=1)
+@click.option("--batchsize", default=None, type=int)
+@click.option("--save-as-csv/--no-csv", default=True)
+@click.option("--destfolder", default=None)
+def analyze_videos(config, videos, shuffle, batchsize, save_as_csv,
+                   destfolder):
+    """Batched full-video inference with DLC scorer-named outputs."""
+    from deepgraphpose_tpu.infer.analyze import analyze_videos as _analyze
+
+    _analyze(config, list(videos), shuffle=shuffle, batchsize=batchsize,
+             save_as_csv=save_as_csv, destfolder=destfolder)
+
+
+@main.command(context_settings=CTX)
+@click.argument("config", type=click.Path(exists=True))
+@click.argument("videos", nargs=-1, type=click.Path(exists=True))
+@click.option("--filtertype", default="median",
+              type=click.Choice(["median", "kalman", "arima"]))
+@click.option("--windowlength", default=5)
+def filter_predictions(config, videos, filtertype, windowlength):
+    """Median/Kalman filtering of analyzed trajectories."""
+    from deepgraphpose_tpu.evaluation.filtering import filterpredictions
+
+    filterpredictions(config, list(videos), filtertype=filtertype,
+                      windowlength=windowlength)
+
+
+@main.command(context_settings=CTX)
+@click.argument("config", type=click.Path(exists=True))
+@click.argument("videos", nargs=-1, type=click.Path(exists=True))
+@click.option("--outlieralgorithm", default="jump",
+              type=click.Choice(["jump", "uncertain", "fitting"]))
+@click.option("--epsilon", default=20.0)
+@click.option("--p-bound", default=0.01)
+@click.option("--extractionalgorithm", default="uniform",
+              type=click.Choice(["uniform", "kmeans"]))
+def extract_outlier_frames(config, videos, outlieralgorithm, epsilon,
+                           p_bound, extractionalgorithm):
+    """Flag + extract outlier frames for relabeling."""
+    from deepgraphpose_tpu.evaluation.outliers import \
+        extract_outlier_frames as _extract
+
+    _extract(config, list(videos), outlieralgorithm=outlieralgorithm,
+             epsilon=epsilon, p_bound=p_bound,
+             extractionalgorithm=extractionalgorithm)
+
+
+@main.command(context_settings=CTX)
+@click.argument("config", type=click.Path(exists=True))
+@click.argument("videos", nargs=-1, type=click.Path(exists=True))
+@click.option("--shuffle", default=1)
+@click.option("--destfolder", default=None)
+def create_labeled_video(config, videos, shuffle, destfolder):
+    """Render marker-annotated videos from trajectories."""
+    from pathlib import Path
+
+    from deepgraphpose_tpu.core import checkpoint as ckpt_lib
+    from deepgraphpose_tpu.infer.video_writer import plot_dgp
+    from deepgraphpose_tpu.train.fit import resolve_project
+
+    dlcpath = Path(config).parent
+    proj, _, train_dir = resolve_project(dlcpath, shuffle)
+    snap = ckpt_lib.latest_snapshot(train_dir)
+    if snap is None:
+        raise click.ClickException(f"no snapshot under {train_dir}")
+    for video in videos:
+        out = Path(destfolder) if destfolder else Path(video).parent
+        plot_dgp(video, out, proj_cfg_file=config, dgp_model_file=snap,
+                 shuffle=shuffle)
+
+
+@main.command(context_settings=CTX)
+@click.argument("config", type=click.Path(exists=True))
+@click.argument("videos", nargs=-1, type=click.Path(exists=True))
+@click.option("--filtered", is_flag=True, default=False)
+def plot_trajectories(config, videos, filtered):
+    """4-panel trajectory/likelihood plot per analyzed video."""
+    from deepgraphpose_tpu.infer.plotting import \
+        plot_trajectories as _plot
+
+    _plot(config, list(videos), filtered=filtered)
+
+
+@main.command(context_settings=CTX)
+@click.option("--dlcpath", required=True, type=click.Path(exists=True))
+@click.option("--dlcsnapshot", default=None)
+@click.option("--shuffle", default=1)
+@click.option("--batch_size", "--batch-size", "batch_size", default=10)
+@click.option("--test", is_flag=True, default=False)
+def run_demo(dlcpath, dlcsnapshot, shuffle, batch_size, test):
+    """Full 4-step DGP pipeline (== demo/run_dgp_demo.py)."""
+    import sys
+    from pathlib import Path
+
+    demo_dir = Path(__file__).resolve().parent.parent / "demo"
+    sys.path.insert(0, str(demo_dir))
+    import run_dgp_demo
+
+    argv = ["--dlcpath", str(dlcpath), "--shuffle", str(shuffle),
+            "--batch_size", str(batch_size)]
+    if dlcsnapshot:
+        argv += ["--dlcsnapshot", dlcsnapshot]
+    if test:
+        argv += ["--test"]
+    raise SystemExit(run_dgp_demo.main(argv))
+
+
+if __name__ == "__main__":
+    main()

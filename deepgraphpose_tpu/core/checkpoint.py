@@ -121,8 +121,10 @@ def latest_snapshot(train_dir: str | Path, step: int | None = None,
 
 
 def _snapshot_iter(p: Path) -> int:
+    if p.name.endswith(f"final--0{CKPT_SUFFIX}"):
+        return 10 ** 12  # 'final--0' sorts last
     m = re.search(r"-(\d+)\.ckpt$", p.name)
-    return int(m.group(1)) if m else 10 ** 12  # 'final--0' sorts last
+    return int(m.group(1)) if m else 10 ** 12 - 1
 
 
 def _prune_snapshots(train_dir: Path, step: int, max_to_keep: int,

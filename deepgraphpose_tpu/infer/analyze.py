@@ -1,0 +1,152 @@
+"""DLC-style ``analyze_videos``: scorer-named trajectory export.
+
+ref: deeplabcut/pose_estimation_tensorflow/predict_videos.py:35-526
+(analyze_videos / AnalyzeVideo) and utils/auxiliaryfunctions.py:349-378
+(GetScorerName) / 251-262 (SaveData). Where the reference runs numpy- or
+in-graph TF decoding per batch (GetPoseF/GetPoseS/GetPoseF_GTF), this rides
+the package's batched streaming TPU inference (infer.predict.estimate_pose).
+
+Output contract per video (destfolder defaults to the video's directory):
+  <vname><DLCscorer>.h5               pandas DF, MultiIndex (scorer,
+                                      bodyparts, [x, y, likelihood])
+  <vname><DLCscorer>.csv              if save_as_csv
+  <vname><DLCscorer>includingmetadata.pickle
+"""
+
+from __future__ import annotations
+
+import pickle
+import time
+from pathlib import Path
+
+import numpy as np
+
+from deepgraphpose_tpu.core import checkpoint as ckpt_lib
+from deepgraphpose_tpu.core import paths as paths_lib
+from deepgraphpose_tpu.core.config import PoseConfig, ProjectConfig
+
+
+def get_scorer_name(proj: ProjectConfig, pose_cfg: PoseConfig, shuffle: int,
+                    trainingsiterations="unknown") -> tuple[str, str]:
+    """(DLC scorer, legacy scorer) — ref: auxiliaryfunctions.py:349-378."""
+    if "resnet" in pose_cfg.net_type:
+        netname = pose_cfg.net_type.replace("_", "")
+    else:
+        netname = "mobnet_" + str(
+            int(float(pose_cfg.net_type.split("_")[-1]) * 100))
+    tail = f"{proj.Task}{proj.date}shuffle{shuffle}_{trainingsiterations}"
+    return f"DLC_{netname}_{tail}", f"DeepCut_{netname}_{tail}"
+
+
+def _resolve_snapshot(train_dir: Path, proj: ProjectConfig,
+                      snapshot: str | None) -> tuple[Path, str]:
+    """(snapshot path, trainingsiterations string).
+
+    Uses proj.snapshotindex over the *step-2 (DGP) snapshots first*, falling
+    back to any step (ref: predict_videos.py:142-158 sorts snapshots by
+    iteration and indexes with cfg['snapshotindex'])."""
+    if snapshot is not None:
+        p = train_dir / f"{snapshot}{ckpt_lib.CKPT_SUFFIX}"
+        if not p.exists():
+            raise FileNotFoundError(p)
+        return p, p.stem.split("-")[-1]
+    for step in (2, 1, 0, None):
+        snaps = sorted(train_dir.glob(
+            f"snapshot-step{step}-*{ckpt_lib.CKPT_SUFFIX}")) if step is not None \
+            else sorted(train_dir.glob(f"snapshot-*{ckpt_lib.CKPT_SUFFIX}"))
+        if snaps:
+            snaps = sorted(snaps, key=ckpt_lib._snapshot_iter)
+            idx = proj.snapshotindex if proj.snapshotindex != "all" else -1
+            p = snaps[int(idx)]
+            return p, p.stem.split("-")[-1]
+    raise FileNotFoundError(
+        f"no snapshots under {train_dir}; train the network first")
+
+
+def analyze_videos(config: str | Path, videos: list, shuffle: int = 1,
+                   trainingsetindex: int = 0, save_as_csv: bool = True,
+                   destfolder: str | Path | None = None,
+                   batchsize: int | None = None,
+                   snapshot: str | None = None,
+                   cropping: tuple | None = None,
+                   max_frames: int | None = None) -> str:
+    """Analyze every video; returns the DLC scorer string.
+
+    ``videos`` may contain files or directories (all videos inside are
+    picked up, ref: predict_videos.py:528-555 GetVideoList behavior).
+    """
+    from deepgraphpose_tpu.data.video import VideoReader
+    from deepgraphpose_tpu.infer.export import export_pose_like_dlc
+    from deepgraphpose_tpu.infer.predict import estimate_pose
+    from deepgraphpose_tpu.train.fit import resolve_project
+
+    config = Path(config)
+    dlcpath = config.parent
+    proj, pose_cfg, train_dir = resolve_project(dlcpath, shuffle,
+                                                trainingsetindex)
+    frac = proj.TrainingFraction[trainingsetindex]
+    snap_path, iters = _resolve_snapshot(Path(train_dir), proj, snapshot)
+    scorer, scorer_legacy = get_scorer_name(proj, pose_cfg, shuffle, iters)
+    print(f"Using snapshot {snap_path.name} -> scorer {scorer}")
+
+    video_files: list[Path] = []
+    for v in videos:
+        p = Path(v)
+        if p.is_dir():
+            video_files.extend(Path(f) for f in paths_lib.list_videos(p))
+        elif p.exists():
+            video_files.append(p)
+        else:
+            print(f"warning: video {p} not found; skipping")
+
+    crop = None
+    if cropping is not None:
+        x1, x2, y1, y2 = cropping
+        crop = (x1, y1, x2, y2)  # estimate_pose order: (x0, y0, x1, y1)
+
+    names = pose_cfg.all_joints_names or [
+        f"bp{i}" for i in range(pose_cfg.num_joints)]
+
+    for video in video_files:
+        dest = Path(destfolder) if destfolder else video.parent
+        dest.mkdir(parents=True, exist_ok=True)
+        dataname = dest / f"{video.stem}{scorer}.h5"
+        if dataname.exists() or (dest / f"{video.stem}{scorer_legacy}.h5").exists():
+            print(f"{video.stem} already analyzed ({dataname.name})")
+            continue
+
+        t0 = time.time()
+        labels = estimate_pose(
+            proj_cfg_file=config, dgp_model_file=snap_path,
+            video_file=video, output_dir=dest, shuffle=shuffle,
+            save_pose=False, crop=crop, batch_size=batchsize,
+            max_frames=max_frames, pose_cfg=pose_cfg)
+        t1 = time.time()
+
+        n = labels["x"].shape[0]
+        # writes <stem>.csv + <stem>.h5 with the scorer MultiIndex layout
+        export_pose_like_dlc(labels, scorer, names,
+                             str(dataname.with_suffix("")))
+        if not save_as_csv:
+            dataname.with_suffix(".csv").unlink(missing_ok=True)
+
+        reader = VideoReader(video)
+        nx, ny = reader.width, reader.height
+        reader.close()
+        meta = {"data": {
+            "start": t0, "stop": t1, "run_duration": t1 - t0,
+            "Scorer": scorer,
+            "DLC-model-config file": pose_cfg.to_dict(),
+            "fps": None, "batch_size": batchsize or pose_cfg.infer_batch_size,
+            "frame_dimensions": (ny, nx), "nframes": n,
+            "iteration (active-learning)": proj.iteration,
+            "training set fraction": frac,
+            "cropping": cropping is not None,
+            "cropping_parameters": list(cropping) if cropping
+            else [0, nx, 0, ny],
+        }}
+        with open(str(dataname).split(".h5")[0]
+                  + "includingmetadata.pickle", "wb") as f:
+            pickle.dump(meta, f)
+        print(f"analyzed {video.name}: {n} frames in {t1 - t0:.1f}s")
+    return scorer

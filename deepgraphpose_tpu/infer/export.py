@@ -33,10 +33,23 @@ def export_pose_like_dlc(labels: dict, scorer: str, joints_names: list,
             f.write(str(i) + "," + ",".join(repr(float(v))
                                             for v in data[i]) + "\n")
 
-    # ---- HDF5 via h5py ----
+    write_pose_h5(save_file + ".h5", scorer, joints_names, labels)
+
+
+def write_pose_h5(path: str | Path, scorer: str, joints_names: list,
+                  labels: dict, index=None) -> None:
+    """Self-describing h5py trajectory table (pandas pytables is
+    unavailable here). Layout: group 'df_with_missing' with 'data'
+    (n, 3*nj), 'bodyparts', 'coords', 'index' and a 'scorer' attr."""
     import h5py
 
-    with h5py.File(save_file + ".h5", "w") as f:
+    x, y, lik = labels["x"], labels["y"], labels["likelihoods"]
+    n_frames, nj = np.asarray(x).shape
+    data = np.empty((n_frames, 3 * nj), dtype=np.float64)
+    data[:, 0::3] = x
+    data[:, 1::3] = y
+    data[:, 2::3] = lik
+    with h5py.File(str(path), "w") as f:
         g = f.create_group("df_with_missing")
         g.attrs["scorer"] = scorer
         g.create_dataset("data", data=data)
@@ -44,7 +57,29 @@ def export_pose_like_dlc(labels: dict, scorer: str, joints_names: list,
                          data=np.array(joints_names, dtype="S"))
         g.create_dataset("coords", data=np.array(["x", "y", "likelihood"],
                                                  dtype="S"))
-        g.create_dataset("index", data=np.arange(n_frames))
+        if index is None:
+            g.create_dataset("index", data=np.arange(n_frames))
+        else:
+            g.create_dataset("index", data=np.array(index, dtype="S"))
+
+
+def read_pose_table(path: str | Path) -> tuple[str, list, dict, list]:
+    """(scorer, bodyparts, {'x','y','likelihoods'}, index) from a pose .h5."""
+    import h5py
+
+    with h5py.File(str(path), "r") as f:
+        g = f["df_with_missing"]
+        data = g["data"][()]
+        scorer = g.attrs.get("scorer", "")
+        if isinstance(scorer, bytes):
+            scorer = scorer.decode()
+        bodyparts = [b.decode() if isinstance(b, bytes) else str(b)
+                     for b in g["bodyparts"][()]]
+        index = list(g["index"][()])
+        index = [i.decode() if isinstance(i, bytes) else i for i in index]
+    labels = {"x": data[:, 0::3], "y": data[:, 1::3],
+              "likelihoods": data[:, 2::3]}
+    return scorer, bodyparts, labels, index
 
 
 def load_pose_from_dlc(filename: str) -> dict:

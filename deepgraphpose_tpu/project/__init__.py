@@ -1,0 +1,18 @@
+"""DLC project scaffolding: create projects, extract frames, build
+training datasets.
+
+Capability parity with the vendored DeepLabCut project tooling
+(ref: deeplabcut/create_project/new.py, generate_training_dataset/
+frame_extraction.py, trainingsetmanipulation.py) using this package's own
+IO primitives — same on-disk filestructure contract, no wx GUI.
+"""
+
+from deepgraphpose_tpu.project.new import add_new_videos, create_new_project
+from deepgraphpose_tpu.project.extract import extract_frames
+from deepgraphpose_tpu.project.training_dataset import (
+    create_training_dataset, merge_annotated_datasets, split_trials)
+
+__all__ = [
+    "create_new_project", "add_new_videos", "extract_frames",
+    "create_training_dataset", "merge_annotated_datasets", "split_trials",
+]
