@@ -100,6 +100,7 @@ class PoseConfig:
     # --- TPU-specific knobs (new in this framework) ---
     compute_dtype: str = "float32"   # "bfloat16" for MXU-friendly training
     infer_batch_size: int = 16       # frames per device step in streaming inference
+    use_pallas_softargmax: bool = False  # fused Pallas decode kernel (TPU only)
 
     # anything in the YAML we do not model explicitly
     extra: dict = field(default_factory=dict)

@@ -40,7 +40,13 @@ def infer_forward(model, cfg: PoseConfig, variables, images_u8):
     images = images_u8.astype(jnp.float32)
     heads = model.apply(variables, images)
     pred = heads["part_pred"]                    # (B, H, W, nj) logits
-    mu, _ = softargmax_2d(pred, gamma=cfg.gamma, gauss_len=cfg.gauss_len)
+    if getattr(cfg, "use_pallas_softargmax", False):
+        from deepgraphpose_tpu.ops.pallas.softargmax_kernel import \
+            softargmax_2d_pallas
+
+        mu = softargmax_2d_pallas(pred, cfg.gamma, cfg.gauss_len)
+    else:
+        mu, _ = softargmax_2d(pred, gamma=cfg.gamma, gauss_len=cfg.gauss_len)
 
     b, h, w, nj = pred.shape
     r0 = jnp.clip(jnp.floor(mu[..., 0]).astype(jnp.int32), 0, h - 1)

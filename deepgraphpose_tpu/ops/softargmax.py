@@ -50,14 +50,19 @@ def gaussian_smooth_2d(maps: jnp.ndarray, sigma: float,
     c = maps.shape[-1]
     dn = jax.lax.conv_dimension_numbers(maps.shape, (ksize, 1, 1, c),
                                         ("NHWC", "HWIO", "NHWC"))
+    # HIGHEST: TPU convs default to bf16 passes, which costs ~3e-2 scoremap
+    # cells of accuracy in the expectation (~0.25 px); full f32 here is free
+    # next to the backbone.
     kh = jnp.tile(k.reshape(ksize, 1, 1, 1), (1, 1, 1, c))
     out = jax.lax.conv_general_dilated(
         maps, kh, window_strides=(1, 1), padding=[(radius, radius), (0, 0)],
-        dimension_numbers=dn, feature_group_count=c)
+        dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
     kw = jnp.tile(k.reshape(1, ksize, 1, 1), (1, 1, 1, c))
     out = jax.lax.conv_general_dilated(
         out, kw, window_strides=(1, 1), padding=[(0, 0), (radius, radius)],
-        dimension_numbers=dn, feature_group_count=c)
+        dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
     return out
 
 
