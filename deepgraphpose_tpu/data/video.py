@@ -120,7 +120,18 @@ class FrameCache:
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
     def get_batch(self, indices) -> np.ndarray:
-        return np.stack([self.get(i) for i in indices])
+        """Batch fetch; uses the native multithreaded JPEG decoder
+        (deepgraphpose_tpu.native) when every index is cached."""
+        idxs = [int(i) for i in indices]
+        if self._shape is not None and all(i in self._jpegs for i in idxs):
+            from deepgraphpose_tpu import native
+
+            h, w = self._shape[:2]
+            out = native.decode_jpeg_batch(
+                [self._jpegs[i] for i in idxs], h, w)
+            if out is not None:
+                return out
+        return np.stack([self.get(i) for i in idxs])
 
 
 def motion_energy(path: str | Path, resize_to: int | None = 256) -> np.ndarray:
