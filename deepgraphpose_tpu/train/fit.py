@@ -31,6 +31,7 @@ from deepgraphpose_tpu.models.pose_model import init_model
 from deepgraphpose_tpu.ops.dgp_objective import (DGPLossParams,
                                                  compute_spatial_bounds)
 from deepgraphpose_tpu.train import steps as steps_lib
+from deepgraphpose_tpu.utils import profiling
 
 
 # ---------------------------------------------------------------------------
@@ -233,15 +234,18 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
                 jax.device_put(present))
 
     stats, t0 = [], time.time()
+    timer = profiling.StepTimer(Path(train_dir) / "steps.jsonl")
     pf = DevicePrefetcher(producer(), transfer, depth=2)
     for it, imgs, coords, present in pf:
         variables, opt_state, out = train_step(
             variables, opt_state, imgs, coords, present, it)
         if displayiters and it % displayiters == 0:
             loss = float(out["total_loss"])
+            timer.step(it, loss=loss)
             print(f"[fit_dlc] iter {it}/{maxiters} loss {loss:.4f} "
                   f"({time.time() - t0:.1f}s)", flush=True)
             stats.append([it, loss])
+    timer.close()
         if (saveiters and it > 0 and it % saveiters == 0):
             ckpt_lib.save_snapshot(train_dir, step, it, variables, opt_state,
                                    cfg.max_to_keep)
@@ -423,6 +427,7 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
             k: jax.device_put(v) for k, v in b.as_jnp().items()}
 
     stats, t0 = [], time.time()
+    timer = profiling.StepTimer(Path(train_dir) / "steps.jsonl")
     pf = DevicePrefetcher(producer(), transfer, depth=2)
     name = "fit_dgp_labeledonly" if visible_only else "fit_dgp"
     for it, images, batch in pf:
@@ -431,9 +436,11 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
         if displayiters and it % displayiters == 0:
             key = "total_loss_visible" if visible_only else "total_loss"
             loss = float(out[key])
+            timer.step(it, loss=loss)
             print(f"[{name}] iter {it}/{n_iters} loss {loss:.4f} "
                   f"({time.time() - t0:.1f}s)", flush=True)
             stats.append([it, loss])
+    timer.close()
         if it > 0 and it % save_every == 0:
             ckpt_lib.save_snapshot(train_dir, step, it, variables, opt_state,
                                    cfg.max_to_keep, debug)

@@ -1,0 +1,71 @@
+"""Time-sharded streaming inference on the virtual 8-device CPU mesh:
+halo-exact temporal displacement and exact cross-shard EWMA smoothing."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepgraphpose_tpu.parallel.mesh import make_mesh
+from deepgraphpose_tpu.parallel.streaming import (ewma_reference,
+                                                  make_time_sharded_infer_fn,
+                                                  make_time_sharded_smoother)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return make_mesh(8)
+
+
+def test_smoother_matches_sequential_reference(mesh8, rng):
+    T, nj = 64, 4
+    mu = rng.standard_normal((T, nj, 2)) * 10 + 50
+    lik = rng.uniform(0, 1, (T, nj))
+    lik[0] = 0.9  # confident start
+
+    smooth = make_time_sharded_smoother(mesh8, alpha=0.6, pcutoff=0.4)
+    got = np.asarray(smooth(jnp.asarray(mu), jnp.asarray(lik)))
+    want = ewma_reference(mu, lik, alpha=0.6, pcutoff=0.4)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_smoother_constant_track_is_fixed_point(mesh8):
+    T, nj = 32, 2
+    mu = np.tile(np.array([[3.0, 7.0], [1.0, 2.0]])[None], (T, 1, 1))
+    lik = np.full((T, nj), 0.99)
+    smooth = make_time_sharded_smoother(mesh8)
+    got = np.asarray(smooth(jnp.asarray(mu), jnp.asarray(lik)))
+    np.testing.assert_allclose(got, mu, rtol=1e-6)
+
+
+def test_time_sharded_infer_matches_unsharded(mesh8, rng):
+    from deepgraphpose_tpu.core.config import PoseConfig
+    from deepgraphpose_tpu.infer.predict import make_infer_fn
+    from deepgraphpose_tpu.models.pose_model import init_model
+
+    nj, hw = 3, (32, 32)
+    cfg = PoseConfig(num_joints=nj, net_type="resnet_50",
+                     all_joints_names=[f"bp{i}" for i in range(nj)])
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), hw)
+
+    T = 16  # 2 frames per device
+    frames = rng.integers(0, 255, (T, *hw, 3), dtype=np.uint8)
+
+    sharded = make_time_sharded_infer_fn(model, cfg, mesh8)
+    mu_s, lik_s, disp = sharded(variables, jnp.asarray(frames))
+    mu_s, lik_s, disp = map(np.asarray, (mu_s, lik_s, disp))
+
+    mu_u, lik_u = make_infer_fn(model, cfg)(variables, jnp.asarray(frames))
+    mu_u, lik_u = np.asarray(mu_u), np.asarray(lik_u)
+
+    np.testing.assert_allclose(mu_s, mu_u, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(lik_s, lik_u, rtol=1e-4, atol=1e-4)
+
+    # displacement: exact across the 8 shard boundaries
+    want = np.zeros((T, nj))
+    want[1:] = np.linalg.norm(mu_u[1:] - mu_u[:-1], axis=-1)
+    np.testing.assert_allclose(disp, want, rtol=1e-3, atol=1e-3)
+    assert disp[0].max() == 0.0
