@@ -245,10 +245,10 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
             print(f"[fit_dlc] iter {it}/{maxiters} loss {loss:.4f} "
                   f"({time.time() - t0:.1f}s)", flush=True)
             stats.append([it, loss])
-    timer.close()
         if (saveiters and it > 0 and it % saveiters == 0):
             ckpt_lib.save_snapshot(train_dir, step, it, variables, opt_state,
                                    cfg.max_to_keep)
+    timer.close()
     ckpt_lib.save_snapshot(train_dir, step, maxiters - 1, variables,
                            opt_state, cfg.max_to_keep)
     final = ckpt_lib.save_snapshot(train_dir, step, "final--0", variables)
@@ -440,10 +440,10 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
             print(f"[{name}] iter {it}/{n_iters} loss {loss:.4f} "
                   f"({time.time() - t0:.1f}s)", flush=True)
             stats.append([it, loss])
-    timer.close()
         if it > 0 and it % save_every == 0:
             ckpt_lib.save_snapshot(train_dir, step, it, variables, opt_state,
                                    cfg.max_to_keep, debug)
+    timer.close()
     ckpt_lib.save_snapshot(train_dir, step, max(n_iters - 1, 0), variables,
                            opt_state, cfg.max_to_keep, debug)
     final = ckpt_lib.save_snapshot(train_dir, step, "final--0", variables,
