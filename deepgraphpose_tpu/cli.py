@@ -229,6 +229,32 @@ def create_labeled_video(config, videos, shuffle, destfolder):
 @main.command(context_settings=CTX)
 @click.argument("config", type=click.Path(exists=True))
 @click.argument("videos", nargs=-1, type=click.Path(exists=True))
+@click.option("--shuffle", default=1)
+@click.option("--no-csv", is_flag=True, default=False)
+def analyze_skeleton(config, videos, shuffle, no_csv):
+    """Bone length/orientation per skeleton edge per frame."""
+    from deepgraphpose_tpu.evaluation.skeleton import analyzeskeleton
+
+    analyzeskeleton(config, list(videos), shuffle=shuffle,
+                    save_as_csv=not no_csv)
+
+
+@main.command(context_settings=CTX)
+@click.argument("config", type=click.Path(exists=True))
+@click.argument("directory", type=click.Path(exists=True))
+@click.option("--frametype", default=".png")
+@click.option("--shuffle", default=1)
+def analyze_time_lapse_frames(config, directory, frametype, shuffle):
+    """Batched inference over a directory of same-sized images."""
+    from deepgraphpose_tpu.infer.analyze import \
+        analyze_time_lapse_frames as _analyze
+
+    _analyze(config, directory, frametype=frametype, shuffle=shuffle)
+
+
+@main.command(context_settings=CTX)
+@click.argument("config", type=click.Path(exists=True))
+@click.argument("videos", nargs=-1, type=click.Path(exists=True))
 @click.option("--filtered", is_flag=True, default=False)
 def plot_trajectories(config, videos, filtered):
     """4-panel trajectory/likelihood plot per analyzed video."""

@@ -162,6 +162,66 @@ def motion_energy(path: str | Path, resize_to: int | None = 256) -> np.ndarray:
     return me[:last + 1]
 
 
+def _transcode(src: str | Path, dst: str | Path, frame_fn,
+               start_s: float = 0.0, stop_s: float | None = None) -> Path:
+    reader = VideoReader(src)
+    start = int(start_s * reader.fps)
+    stop = int(stop_s * reader.fps) if stop_s is not None else None
+    first = frame_fn(reader.read_frame(start))
+    wr = None
+    try:
+        import cv2 as _cv2
+
+        wr = _cv2.VideoWriter(str(dst), _cv2.VideoWriter_fourcc(*"mp4v"),
+                              reader.fps,
+                              (first.shape[1], first.shape[0]))
+        for _, frame in reader.iter_frames(start, stop):
+            wr.write(_cv2.cvtColor(frame_fn(frame), _cv2.COLOR_RGB2BGR))
+    finally:
+        if wr is not None:
+            wr.release()
+        reader.close()
+    return Path(dst)
+
+
+def shorten_video(vname: str | Path, start_s: float = 1.0,
+                  stop_s: float = 60.0, outsuffix: str = "short",
+                  outpath: str | Path | None = None) -> Path:
+    """Clip [start_s, stop_s) to a new file
+    (ref: auxfun_videos.py:27-70 ShortenVideo, ffmpeg there)."""
+    vname = Path(vname)
+    out = Path(outpath or vname.parent) / f"{vname.stem}{outsuffix}.mp4"
+    return _transcode(vname, out, lambda f: f, start_s, stop_s)
+
+
+def downsample_video(vname: str | Path, width: int = -1, height: int = 200,
+                     outsuffix: str = "downsampled",
+                     outpath: str | Path | None = None) -> Path:
+    """Spatially downsample, preserving aspect when one dim is -1
+    (ref: auxfun_videos.py:72-115 DownSampleVideo)."""
+    import cv2 as _cv2
+
+    vname = Path(vname)
+    out = Path(outpath or vname.parent) / f"{vname.stem}{outsuffix}.mp4"
+
+    def fn(frame):
+        h, w = frame.shape[:2]
+        tw = width if width > 0 else int(round(w * height / h))
+        th = height if height > 0 else int(round(h * width / w))
+        return _cv2.resize(frame, (tw, th))
+
+    return _transcode(vname, out, fn)
+
+
+def crop_video(vname: str | Path, x0: int, x1: int, y0: int, y1: int,
+               outsuffix: str = "cropped",
+               outpath: str | Path | None = None) -> Path:
+    """Spatial crop to [y0:y1, x0:x1] (ref: auxfun_videos CropVideo role)."""
+    vname = Path(vname)
+    out = Path(outpath or vname.parent) / f"{vname.stem}{outsuffix}.mp4"
+    return _transcode(vname, out, lambda f: f[y0:y1, x0:x1])
+
+
 def write_video(path: str | Path, frames_iter, fps: float,
                 frame_size_wh: tuple[int, int], fourcc: str = "mp4v") -> int:
     """Write RGB frames to a video file; returns frame count."""

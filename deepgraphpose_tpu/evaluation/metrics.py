@@ -128,6 +128,69 @@ def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
     return out
 
 
+def evaluate_network(config: str | Path, shuffle: int = 1,
+                     trainingsetindex: int = 0,
+                     snapshots: str | list | None = None,
+                     pcutoff: float | None = None) -> list[dict]:
+    """Evaluate one or all snapshots; writes a combined results CSV.
+
+    ref: deeplabcut/pose_estimation_tensorflow/evaluate.py:182-405
+    (evaluate_network): iterates the chosen snapshots (config
+    ``snapshotindex`` or 'all'), reports train/test pixel error with and
+    without the pcutoff mask, and appends every row to
+    ``evaluation-results/iteration-<i>/CombinedEvaluation-results.csv``.
+    """
+    import csv
+
+    from deepgraphpose_tpu.core import checkpoint as ckpt_lib
+    from deepgraphpose_tpu.core.config import ProjectConfig
+
+    config = Path(config)
+    dlcpath = config.parent
+    proj = ProjectConfig.from_yaml(config)
+    from deepgraphpose_tpu.train.fit import resolve_project
+
+    _, _, train_dir = resolve_project(dlcpath, shuffle, trainingsetindex)
+    train_dir = Path(train_dir)
+
+    if snapshots is None:
+        idx = proj.snapshotindex
+        all_snaps = sorted(train_dir.glob(f"snapshot-*{ckpt_lib.CKPT_SUFFIX}"),
+                           key=ckpt_lib._snapshot_iter)
+        if not all_snaps:
+            raise FileNotFoundError(f"no snapshots under {train_dir}")
+        snaps = all_snaps if idx == "all" else [all_snaps[int(idx)]]
+    elif isinstance(snapshots, str):
+        snaps = [train_dir / f"{snapshots}{ckpt_lib.CKPT_SUFFIX}"]
+    else:
+        snaps = [train_dir / f"{s}{ckpt_lib.CKPT_SUFFIX}" for s in snapshots]
+
+    results = []
+    out_dir = dlcpath / "evaluation-results" / f"iteration-{proj.iteration}"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    csv_path = out_dir / "CombinedEvaluation-results.csv"
+    new = not csv_path.exists()
+    with open(csv_path, "a", newline="") as f:
+        wr = csv.writer(f)
+        if new:
+            wr.writerow(["snapshot", "shuffle", "train_fraction",
+                         "train_error_px", "test_error_px",
+                         "train_error_pcutoff_px", "pcutoff"])
+        for snap in snaps:
+            res = evaluate_dgp(config, snap, shuffle=shuffle,
+                               pcutoff=pcutoff)
+            res["snapshot"] = snap.stem
+            results.append(res)
+            wr.writerow([snap.stem, shuffle,
+                         proj.TrainingFraction[trainingsetindex],
+                         f"{res['train_error']:.3f}",
+                         f"{res['test_error']:.3f}",
+                         f"{res['train_error_pcutoff']:.3f}",
+                         pcutoff if pcutoff is not None else proj.pcutoff])
+    print(f"evaluation results appended to {csv_path}")
+    return results
+
+
 def write_evaluation_csv(out: dict, path: str | Path,
                          joints_names: list | None = None) -> None:
     """Persist the per-frame RMSE table (ref: evaluate.py results CSV)."""

@@ -150,3 +150,78 @@ def analyze_videos(config: str | Path, videos: list, shuffle: int = 1,
             pickle.dump(meta, f)
         print(f"analyzed {video.name}: {n} frames in {t1 - t0:.1f}s")
     return scorer
+
+
+def analyze_time_lapse_frames(config: str | Path, directory: str | Path,
+                              frametype: str = ".png", shuffle: int = 1,
+                              trainingsetindex: int = 0,
+                              save_as_csv: bool = True,
+                              snapshot: str | None = None,
+                              batchsize: int | None = None) -> str:
+    """Batched inference over a directory of same-sized images.
+
+    ref: predict_videos.py:610-724 (analyze_time_lapse_frames /
+    GetPosesofFrames). Writes ``<dirname><scorer>.h5`` (+ .csv) inside the
+    directory; returns the scorer.
+    """
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from deepgraphpose_tpu.infer.export import export_pose_like_dlc
+    from deepgraphpose_tpu.infer.predict import make_infer_fn
+    from deepgraphpose_tpu.models.pose_model import init_model
+    from deepgraphpose_tpu.train.fit import resolve_project
+
+    config = Path(config)
+    directory = Path(directory)
+    proj, pose_cfg, train_dir = resolve_project(config.parent, shuffle,
+                                                trainingsetindex)
+    snap_path, iters = _resolve_snapshot(Path(train_dir), proj, snapshot)
+    scorer, _ = get_scorer_name(proj, pose_cfg, shuffle, iters)
+
+    frames = sorted(p for p in directory.iterdir()
+                    if p.suffix.lower() == frametype.lower())
+    if not frames:
+        raise FileNotFoundError(f"no {frametype} frames in {directory}")
+    imgs = []
+    for p in frames:
+        img = cv2.imread(str(p))
+        if img is None:
+            raise FileNotFoundError(f"unreadable image {p}")
+        imgs.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+    hw = imgs[0].shape[:2]
+    if any(i.shape[:2] != hw for i in imgs):
+        raise ValueError("all frames must share one size "
+                         "(ref: GetPosesofFrames assumes constant dims)")
+
+    dtype = (jnp.bfloat16 if pose_cfg.compute_dtype == "bfloat16"
+             else jnp.float32)
+    model, variables = init_model(pose_cfg, jax.random.PRNGKey(0), hw,
+                                  dtype=dtype)
+    variables, _ = ckpt_lib.load_snapshot(snap_path, variables)
+    infer = make_infer_fn(model, pose_cfg)
+
+    bs = batchsize or pose_cfg.infer_batch_size
+    nj = pose_cfg.num_joints
+    mu_all = np.zeros((len(imgs), nj, 2))
+    lik_all = np.zeros((len(imgs), nj))
+    for s in range(0, len(imgs), bs):
+        chunk = imgs[s:s + bs]
+        pad = bs - len(chunk)
+        arr = np.stack(chunk + [chunk[-1]] * pad)
+        mu, lik = infer(variables, jnp.asarray(arr))
+        mu_all[s:s + len(chunk)] = np.asarray(mu)[:len(chunk)]
+        lik_all[s:s + len(chunk)] = np.asarray(lik)[:len(chunk)]
+
+    stride = pose_cfg.stride
+    labels = {"x": mu_all[:, :, 1] * stride + stride / 2,
+              "y": mu_all[:, :, 0] * stride + stride / 2,
+              "likelihoods": lik_all}
+    names = pose_cfg.all_joints_names or [f"bp{i}" for i in range(nj)]
+    out_stem = directory / f"{directory.name}{scorer}"
+    export_pose_like_dlc(labels, scorer, names, str(out_stem))
+    if not save_as_csv:
+        out_stem.with_suffix(".csv").unlink(missing_ok=True)
+    print(f"analyzed {len(imgs)} frames in {directory} -> {out_stem}.h5")
+    return scorer

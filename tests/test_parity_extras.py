@@ -1,0 +1,130 @@
+"""Capability-surface extras: skeleton analysis, video utils,
+analyze_time_lapse_frames, multi-snapshot evaluate_network."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from deepgraphpose_tpu.evaluation.skeleton import (analyzeskeleton,
+                                                   bone_statistics)
+
+
+def test_bone_statistics_geometry():
+    labels = {
+        "x": np.array([[0.0, 3.0], [0.0, 0.0]]),
+        "y": np.array([[0.0, 4.0], [0.0, 2.0]]),
+        "likelihoods": np.array([[0.9, 0.5], [0.8, 0.7]]),
+    }
+    bones = bone_statistics(labels, ["a", "b"], [["a", "b"]])
+    st = bones["a_b"]
+    np.testing.assert_allclose(st["length"], [5.0, 2.0])
+    np.testing.assert_allclose(st["orientation_deg"],
+                               [np.degrees(np.arctan2(4, 3)), 90.0])
+    np.testing.assert_allclose(st["likelihood"], [0.5, 0.7])
+
+
+def test_analyzeskeleton_flow(synthetic_project):
+    from deepgraphpose_tpu.infer.export import write_pose_h5
+
+    root, _, _ = synthetic_project
+    root = Path(root)
+    video = root / "videos_dgp" / "synthvid.avi"
+    T, nj = 20, 3
+    rng = np.random.default_rng(0)
+    labels = {"x": rng.uniform(0, 50, (T, nj)),
+              "y": rng.uniform(0, 50, (T, nj)),
+              "likelihoods": np.full((T, nj), 0.9)}
+    scorer = "DLC_resnet50_SynthJan1shuffle1_9"
+    write_pose_h5(video.parent / f"{video.stem}{scorer}.h5", scorer,
+                  ["bp0", "bp1", "bp2"], labels)
+    out = analyzeskeleton(str(root / "config.yaml"), [video], scorer=scorer)
+    assert len(out) == 1 and out[0].exists()
+    assert out[0].with_suffix(".csv").exists()
+    # project skeleton is [[bp0, bp1]]
+    import h5py
+
+    with h5py.File(out[0]) as f:
+        assert "bp0_bp1" in f
+        want = np.hypot(labels["x"][:, 1] - labels["x"][:, 0],
+                        labels["y"][:, 1] - labels["y"][:, 0])
+        np.testing.assert_allclose(f["bp0_bp1"]["length"][()], want)
+
+
+def test_video_utils_roundtrip(tmp_path):
+    import cv2
+
+    from deepgraphpose_tpu.data.video import (VideoReader, crop_video,
+                                              downsample_video,
+                                              shorten_video)
+
+    src = tmp_path / "v.avi"
+    wr = cv2.VideoWriter(str(src), cv2.VideoWriter_fourcc(*"MJPG"), 10.0,
+                         (64, 48))
+    for i in range(30):
+        wr.write(np.full((48, 64, 3), i * 8, np.uint8))
+    wr.release()
+
+    short = shorten_video(src, start_s=1.0, stop_s=2.0)
+    r = VideoReader(short)
+    assert 8 <= r.n_frames <= 12
+    r.close()
+
+    down = downsample_video(src, height=24)
+    r = VideoReader(down)
+    assert r.height == 24 and r.width == 32
+    r.close()
+
+    crop = crop_video(src, 8, 40, 4, 28)
+    r = VideoReader(crop)
+    assert (r.width, r.height) == (32, 24)
+    r.close()
+
+
+@pytest.fixture(scope="module")
+def project_with_snapshot(synthetic_project):
+    """Synthetic project + a random-init snapshot saved as step-2 final."""
+    import jax
+
+    from deepgraphpose_tpu.core import checkpoint as ckpt_lib
+    from deepgraphpose_tpu.models.pose_model import init_model
+    from deepgraphpose_tpu.train.fit import resolve_project
+
+    root, lab_idx, coords = synthetic_project
+    _, cfg, train_dir = resolve_project(root, 1)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (64, 80))
+    ckpt_lib.save_snapshot(train_dir, 2, "final--0", variables)
+    return root, train_dir
+
+
+def test_analyze_time_lapse_frames(project_with_snapshot):
+    from deepgraphpose_tpu.infer.analyze import analyze_time_lapse_frames
+    from deepgraphpose_tpu.infer.export import read_pose_table
+
+    root, _ = project_with_snapshot
+    frames_dir = Path(root) / "labeled-data" / "synthvid"
+    scorer = analyze_time_lapse_frames(Path(root) / "config.yaml",
+                                       frames_dir, frametype=".png")
+    assert scorer.startswith("DLC_resnet50_SynthJan1shuffle1_")
+    h5 = frames_dir / f"{frames_dir.name}{scorer}.h5"
+    assert h5.exists()
+    sc, bps, labels, _ = read_pose_table(h5)
+    n_pngs = len(list(frames_dir.glob("*.png")))
+    assert labels["x"].shape == (n_pngs, 3)
+    assert np.isfinite(labels["x"]).all()
+
+
+def test_evaluate_network_combined_csv(project_with_snapshot):
+    from deepgraphpose_tpu.evaluation.metrics import evaluate_network
+
+    root, _ = project_with_snapshot
+    results = evaluate_network(Path(root) / "config.yaml", shuffle=1,
+                               snapshots="snapshot-step2-final--0")
+    assert len(results) == 1
+    assert np.isfinite(results[0]["train_error"])
+    csv_path = (Path(root) / "evaluation-results" / "iteration-0" /
+                "CombinedEvaluation-results.csv")
+    assert csv_path.exists()
+    lines = csv_path.read_text().strip().splitlines()
+    assert lines[0].startswith("snapshot,")
+    assert lines[-1].startswith("snapshot-step2-final--0,1,")
