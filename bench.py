@@ -32,17 +32,34 @@ def main():
 
     h = int(os.environ.get("BENCH_H", 747))
     w = int(os.environ.get("BENCH_W", 832))
-    batch = int(os.environ.get("BENCH_BATCH", 32))
+    # batch sweep on v5e (747x832 bf16): 32 -> 586, 64 -> 684, 96 -> 693,
+    # 128 -> 719 fps; padding H to 752/768 changes nothing (XLA handles the
+    # odd dim). See PERF.md for the roofline analysis.
+    batch = int(os.environ.get("BENCH_BATCH", 128))
     n_frames = int(os.environ.get("BENCH_FRAMES", 1024))
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     net_type = os.environ.get("BENCH_NET", "resnet_50")
+    mode = os.environ.get("BENCH_MODE", "full")  # full | dynamic
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
     cfg = PoseConfig(num_joints=5, net_type=net_type,
                      all_joints_names=[f"bp{i}" for i in range(5)])
     model, variables = init_model(cfg, jax.random.PRNGKey(0), (h, w),
                                   dtype=dtype)
-    infer = make_infer_fn(model, cfg)
+    if mode == "dynamic":
+        # tracked steady-state: the dynamic-cropping path (fixed-size crop
+        # around the tracked animal, ref GetPoseDynamic) at roughly half
+        # the frame per side = ~3.6x fewer FLOPs per frame
+        from deepgraphpose_tpu.infer.dynamic import make_crop_infer_fn
+
+        ch = -(-(h // 2 + 64) // 8) * 8
+        cw = -(-(w // 2 + 64) // 8) * 8
+        crop_fn = make_crop_infer_fn(model, cfg, (min(ch, h), min(cw, w)))
+        centers = jnp.asarray(
+            np.tile([[h / 2, w / 2]], (batch, 1)), jnp.float32)
+        infer = lambda v, im: crop_fn(v, im, centers)
+    else:
+        infer = make_infer_fn(model, cfg)
 
     rng = np.random.default_rng(0)
 
@@ -70,7 +87,8 @@ def main():
 
     fps = n_batches * batch / dt
     out = {
-        "metric": f"inference_throughput_{net_type}_{h}x{w}_b{batch}_{dtype_name}",
+        "metric": f"inference_throughput_{net_type}_{h}x{w}_b{batch}_{dtype_name}"
+                  + ("_trackedcrop" if mode == "dynamic" else ""),
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 2000.0, 3),

@@ -30,13 +30,14 @@ def pairwise_distances(pred_xy: np.ndarray, true_xy: np.ndarray,
 
 def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
                  shuffle: int = 1, pcutoff: float | None = None,
-                 compute_dtype=None) -> dict:
+                 compute_dtype=None, decode: str = "dgp") -> dict:
     """RMSE vs human labels over the train/test split.
 
-    Runs the eval graph per labeled image (batched per unique image size),
-    decodes with soft-argmax (the reference's 'dgp' mode), and reports mean
-    train/test pixel error. Returns a dict with per-frame tables and summary
-    scalars.
+    Runs the eval graph per labeled image (batched per unique image size)
+    and reports mean train/test pixel error. ``decode`` selects the
+    reference's two modes (ref: eval.py:716-760): 'dgp' = soft-argmax,
+    'dlc' = hard argmax + locref offset (predict.argmax_pose_predict).
+    Returns a dict with per-frame tables and summary scalars.
     """
     import jax
 
@@ -105,6 +106,22 @@ def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
         model, variables = init_model(cfg, jax.random.PRNGKey(0), (h, w),
                                       dtype=dtype)
         variables, _ = ckpt_lib.load_snapshot(dgp_model_file, variables)
+        if decode == "dlc":
+            from deepgraphpose_tpu.ops.decode import argmax_pose_decode
+
+            @jax.jit
+            def infer_dlc(v, im, _model=model):
+                heads = _model.apply(v, im.astype(jnp.float32))
+                return argmax_pose_decode(
+                    heads["part_pred"], heads.get("locref"),
+                    stride=cfg.stride, locref_stdev=cfg.locref_stdev)
+
+            for i in idxs:
+                xyl = np.asarray(infer_dlc(
+                    variables, jnp.asarray(images[i][None])))[0]
+                pred_xy[i] = xyl[:, :2]
+                lik[i] = xyl[:, 2]
+            continue
         infer = make_infer_fn(model, cfg)
         for i in idxs:
             mu, l = infer(variables, jnp.asarray(images[i][None]))

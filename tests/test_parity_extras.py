@@ -114,6 +114,18 @@ def test_analyze_time_lapse_frames(project_with_snapshot):
     assert np.isfinite(labels["x"]).all()
 
 
+def test_evaluate_dgp_dlc_decode_mode(project_with_snapshot):
+    from deepgraphpose_tpu.evaluation.metrics import evaluate_dgp
+
+    root, train_dir = project_with_snapshot
+    snap = Path(train_dir) / "snapshot-step2-final--0.ckpt"
+    res = evaluate_dgp(Path(root) / "config.yaml", snap, decode="dlc")
+    assert np.isfinite(res["train_error"])
+    assert res["pred_xy"].shape == res["true_xy"].shape
+    # DLC argmax decode lands on stride-grid + locref offsets: all finite
+    assert np.isfinite(res["pred_xy"]).all()
+
+
 def test_evaluate_network_combined_csv(project_with_snapshot):
     from deepgraphpose_tpu.evaluation.metrics import evaluate_network
 
