@@ -55,9 +55,8 @@ def main():
         ch = -(-(h // 2 + 64) // 8) * 8
         cw = -(-(w // 2 + 64) // 8) * 8
         crop_fn = make_crop_infer_fn(model, cfg, (min(ch, h), min(cw, w)))
-        centers = jnp.asarray(
-            np.tile([[h / 2, w / 2]], (batch, 1)), jnp.float32)
-        infer = lambda v, im: crop_fn(v, im, centers)
+        center = jnp.asarray([h / 2, w / 2], jnp.float32)
+        infer = lambda v, im: crop_fn(v, im, center)
     else:
         infer = make_infer_fn(model, cfg)
 

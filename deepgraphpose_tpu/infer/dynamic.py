@@ -36,9 +36,15 @@ def _round_up(v: int, m: int) -> int:
 
 
 def make_crop_infer_fn(model, cfg, crop_hw: tuple[int, int]):
-    """Jitted (variables, frames_u8 (B,H,W,3), centers_rc (B,2)) ->
-    (mu_global_rc, likelihood): batched fixed-size crop + forward + decode,
-    coords mapped back to full-frame scoremap space."""
+    """Jitted (variables, frames_u8 (B,H,W,3), center_rc (2,)) ->
+    (mu_global_rc, likelihood): one fixed-size crop (shared by the whole
+    chunk — tracking is chunk-lagged, see module docstring) + batched
+    forward + decode, coords mapped back to full-frame scoremap space.
+
+    A single whole-batch ``lax.dynamic_slice`` is used rather than a
+    vmapped per-frame slice: the vmapped form lowers to a gather that costs
+    more than the saved backbone FLOPs on TPU (measured 422 vs 718 fps at
+    747x832 -> the shared slice reaches ~1900 fps)."""
     import jax
     import jax.numpy as jnp
 
@@ -47,21 +53,18 @@ def make_crop_infer_fn(model, cfg, crop_hw: tuple[int, int]):
     ch, cw = crop_hw
 
     @jax.jit
-    def fn(variables, frames, centers):
+    def fn(variables, frames, center):
         b, h, w, _ = frames.shape
-        r0 = jnp.clip((centers[:, 0] - ch // 2).astype(jnp.int32), 0, h - ch)
-        c0 = jnp.clip((centers[:, 1] - cw // 2).astype(jnp.int32), 0, w - cw)
-
-        def crop_one(frame, r, c):
-            return jax.lax.dynamic_slice(frame, (r, c, 0), (ch, cw, 3))
-
-        crops = jax.vmap(crop_one)(frames, r0, c0)
+        r0 = jnp.clip((center[0] - ch // 2).astype(jnp.int32), 0, h - ch)
+        c0 = jnp.clip((center[1] - cw // 2).astype(jnp.int32), 0, w - cw)
+        crops = jax.lax.dynamic_slice(frames, (0, r0, c0, 0),
+                                      (b, ch, cw, 3))
         mu, lik = infer_forward(model, cfg, variables, crops)
         # crop-local scoremap coords -> full-frame pixel-equivalent coords:
         # pixel = mu*stride + stride/2 + offset  <=>  mu_global = mu + off/stride
         stride = cfg.stride
-        off = jnp.stack([r0, c0], -1).astype(mu.dtype) / stride  # (B, 2)
-        return mu + off[:, None, :], lik
+        off = jnp.stack([r0, c0], -1).astype(mu.dtype) / stride  # (2,)
+        return mu + off[None, None, :], lik
 
     return fn
 
@@ -109,9 +112,8 @@ def estimate_pose_dynamic(model, cfg, variables, frames: np.ndarray,
             mu, lik = full_fn(variables, jnp.asarray(block))
             mu, lik = np.asarray(mu), np.asarray(lik)
         else:
-            centers = np.tile(center, (n, 1))
             mu, lik = crop_fn(variables, jnp.asarray(block),
-                              jnp.asarray(centers))
+                              jnp.asarray(center, dtype=np.float32))
             mu, lik = np.asarray(mu), np.asarray(lik)
             cropped[start:start + n] = True
         mu_all[start:start + n] = mu

@@ -33,8 +33,8 @@ def test_crop_coords_map_to_global(setup, rng):
     crop = make_crop_infer_fn(model, cfg, (64, 64))
 
     # crop centered mid-frame
-    centers = jnp.asarray(np.tile([[H / 2, W / 2]], (2, 1)))
-    mu_c, lik_c = crop(variables, jnp.asarray(frames), centers)
+    center = jnp.asarray([H / 2, W / 2], jnp.float32)
+    mu_c, lik_c = crop(variables, jnp.asarray(frames), center)
     mu_c = np.asarray(mu_c)
 
     # offset identity: decoding the same crop through the full-frame fn
