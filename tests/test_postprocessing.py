@@ -98,7 +98,8 @@ def test_filterpredictions_and_outlier_extraction(synthetic_project):
                        ["bp0", "bp1", "bp2"])
 
     out = filterpredictions(str(root / "config.yaml"), [video],
-                            filtertype="median", windowlength=5)
+                            filtertype="median", windowlength=5,
+                            scorer=scorer)
     assert len(out) == 1 and out[0].exists()
     from deepgraphpose_tpu.infer.export import read_pose_table
 
@@ -110,7 +111,7 @@ def test_filterpredictions_and_outlier_extraction(synthetic_project):
 
     picked = extract_outlier_frames(
         str(root / "config.yaml"), [video], outlieralgorithm="jump",
-        epsilon=30, numframes2pick=4)
+        epsilon=30, numframes2pick=4, scorer=scorer)
     idxs = picked[str(video)]
     assert len(idxs) >= 1
     pngs = list((root / "labeled-data" / "synthvid").glob("img*.png"))

@@ -127,3 +127,25 @@ def test_create_project_3d_and_triangulate_flow(tmp_path, rng):
     np.testing.assert_allclose(xyz[finite], X[finite], atol=1e-5)
     assert (root / "vid_cam1_DGP_3D_3d.csv").exists()
     assert (root / "vid_cam1_DGP_3D_3d.h5").exists()
+
+
+def test_plotting3d(tmp_path, rng):
+    from deepgraphpose_tpu.threed.plotting3d import (create_labeled_video_3d,
+                                                     plot_trajectories_3d)
+
+    T, nj = 8, 3
+    xyz = rng.standard_normal((T, nj, 3)) + [0, 0, 10]
+    xyz[2, 1] = np.nan
+    bps = ["bp0", "bp1", "bp2"]
+    fig = plot_trajectories_3d(xyz, bps, tmp_path / "traj3d.png")
+    assert fig.exists()
+
+    import yaml
+
+    cfg3d = tmp_path / "config.yaml"
+    with open(cfg3d, "w") as f:
+        yaml.safe_dump({"skeleton": [["bp0", "bp1"]],
+                        "skeleton_color": "black"}, f)
+    vid = create_labeled_video_3d(cfg3d, xyz, bps, tmp_path / "v3d.mp4",
+                                  trailpoints=3)
+    assert vid.exists() and vid.stat().st_size > 0
