@@ -165,21 +165,14 @@ def motion_energy(path: str | Path, resize_to: int | None = 256) -> np.ndarray:
 def _transcode(src: str | Path, dst: str | Path, frame_fn,
                start_s: float = 0.0, stop_s: float | None = None) -> Path:
     reader = VideoReader(src)
-    start = int(start_s * reader.fps)
-    stop = int(stop_s * reader.fps) if stop_s is not None else None
-    first = frame_fn(reader.read_frame(start))
-    wr = None
     try:
-        import cv2 as _cv2
-
-        wr = _cv2.VideoWriter(str(dst), _cv2.VideoWriter_fourcc(*"mp4v"),
-                              reader.fps,
-                              (first.shape[1], first.shape[0]))
-        for _, frame in reader.iter_frames(start, stop):
-            wr.write(_cv2.cvtColor(frame_fn(frame), _cv2.COLOR_RGB2BGR))
+        start = int(start_s * reader.fps)
+        stop = int(stop_s * reader.fps) if stop_s is not None else None
+        first = frame_fn(reader.read_frame(start))
+        write_video(dst,
+                    (frame_fn(f) for _, f in reader.iter_frames(start, stop)),
+                    reader.fps, (first.shape[1], first.shape[0]))
     finally:
-        if wr is not None:
-            wr.release()
         reader.close()
     return Path(dst)
 

@@ -222,6 +222,8 @@ def analyze_time_lapse_frames(config: str | Path, directory: str | Path,
     out_stem = directory / f"{directory.name}{scorer}"
     export_pose_like_dlc(labels, scorer, names, str(out_stem))
     if not save_as_csv:
-        out_stem.with_suffix(".csv").unlink(missing_ok=True)
+        # the writer appends '.csv' by string concat; with_suffix would
+        # mangle directory names containing dots
+        Path(str(out_stem) + ".csv").unlink(missing_ok=True)
     print(f"analyzed {len(imgs)} frames in {directory} -> {out_stem}.h5")
     return scorer

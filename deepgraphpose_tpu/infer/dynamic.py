@@ -84,63 +84,83 @@ def estimate_pose_dynamic(model, cfg, variables, frames: np.ndarray,
 
     from deepgraphpose_tpu.infer.predict import make_infer_fn
 
-    T, H, W, _ = frames.shape
-    s = int(cfg.stride)
-    if crop_hw is None:
-        crop_hw = (min(_round_up(H // 2 + margin, s), _round_up(H, s)),
-                   min(_round_up(W // 2 + margin, s), _round_up(W, s)))
-    ch, cw = crop_hw
-    ch, cw = min(ch, H), min(cw, W)
-
-    crop_fn = make_crop_infer_fn(model, cfg, (ch, cw))
-    full_fn = make_infer_fn(model, cfg)
-
+    tracker = DynamicTracker(model, cfg, frames.shape[1:3], crop_hw=crop_hw,
+                             detection_threshold=detection_threshold,
+                             margin=margin)
+    T = frames.shape[0]
     nj = cfg.num_joints
-    mu_all = np.zeros((T, nj, 2))
-    lik_all = np.zeros((T, nj))
-    cropped = np.zeros(T, bool)
-
-    center = np.array([H / 2, W / 2])
-    have_track = False
-    lost: list[int] = []
-
+    out = {"mu": np.zeros((T, nj, 2)), "likelihoods": np.zeros((T, nj)),
+           "cropped": np.zeros(T, bool)}
     for start in range(0, T, chunk):
         block = frames[start:start + chunk]
+        mu, lik, was_cropped = tracker.process_chunk(variables, block)
+        end = start + block.shape[0]
+        out["mu"][start:end] = mu
+        out["likelihoods"][start:end] = lik
+        out["cropped"][start:end] = was_cropped
+    return out
+
+
+class DynamicTracker:
+    """Persistent track-and-crop state over streamed chunks.
+
+    process_chunk runs the crop path when a track exists, updates the
+    center from the chunk's detections, and immediately re-runs frames that
+    lost the animal full-frame (reference behavior: lost -> full frame,
+    ref: predict_videos.py:437-447) — so results are final per chunk and
+    arbitrarily long videos stream in O(chunk) memory.
+    """
+
+    def __init__(self, model, cfg, frame_hw: tuple[int, int],
+                 crop_hw: tuple[int, int] | None = None,
+                 detection_threshold: float = 0.5, margin: int = 64):
+        from deepgraphpose_tpu.infer.predict import make_infer_fn
+
+        H, W = frame_hw
+        s = int(cfg.stride)
+        if crop_hw is None:
+            crop_hw = (min(_round_up(H // 2 + margin, s), _round_up(H, s)),
+                       min(_round_up(W // 2 + margin, s), _round_up(W, s)))
+        self.crop_hw = (min(crop_hw[0], H), min(crop_hw[1], W))
+        self.stride = s
+        self.threshold = detection_threshold
+        self.crop_fn = make_crop_infer_fn(model, cfg, self.crop_hw)
+        self.full_fn = make_infer_fn(model, cfg)
+        self.center = np.array([H / 2, W / 2])
+        self.have_track = False
+
+    def process_chunk(self, variables, block: np.ndarray):
+        """(mu (n,nj,2), likelihood (n,nj), cropped (n,) bool) for a chunk."""
+        import jax.numpy as jnp
+
         n = block.shape[0]
-        if not have_track:
-            # no track yet: full-frame for this chunk
-            mu, lik = full_fn(variables, jnp.asarray(block))
-            mu, lik = np.asarray(mu), np.asarray(lik)
+        if self.have_track:
+            mu, lik = self.crop_fn(variables, jnp.asarray(block),
+                                   jnp.asarray(self.center, np.float32))
+            cropped = np.ones(n, bool)
         else:
-            mu, lik = crop_fn(variables, jnp.asarray(block),
-                              jnp.asarray(center, dtype=np.float32))
-            mu, lik = np.asarray(mu), np.asarray(lik)
-            cropped[start:start + n] = True
-        mu_all[start:start + n] = mu
-        lik_all[start:start + n] = lik
+            mu, lik = self.full_fn(variables, jnp.asarray(block))
+            cropped = np.zeros(n, bool)
+        mu, lik = np.asarray(mu), np.asarray(lik)
 
-        detected = (lik > detection_threshold).any(axis=1)
+        detected = (lik > self.threshold).any(axis=1)
+        lost = np.flatnonzero(cropped & ~detected)
+        if lost.size:
+            mu2, lik2 = self.full_fn(variables, jnp.asarray(block[lost]))
+            mu[lost] = np.asarray(mu2)
+            lik[lost] = np.asarray(lik2)
+            cropped[lost] = False
+            detected = (lik > self.threshold).any(axis=1)
+
         if detected.any():
-            # track from the last detected frame of the chunk (px coords)
             last = np.flatnonzero(detected)[-1]
-            good = lik[last] > detection_threshold
-            center = (mu[last][good].mean(axis=0) * s + s / 2)
-            have_track = True
+            good = lik[last] > self.threshold
+            self.center = (mu[last][good].mean(axis=0) * self.stride
+                           + self.stride / 2)
+            self.have_track = True
         else:
-            have_track = False
-        # cropped frames that lost the animal -> full-frame fallback
-        lost.extend(start + i for i in range(n)
-                    if cropped[start + i] and not detected[i])
-
-    if lost:
-        for s0 in range(0, len(lost), chunk):
-            idxs = lost[s0:s0 + chunk]
-            mu, lik = full_fn(variables, jnp.asarray(frames[idxs]))
-            mu_all[idxs] = np.asarray(mu)
-            lik_all[idxs] = np.asarray(lik)
-            cropped[idxs] = False
-
-    return {"mu": mu_all, "likelihoods": lik_all, "cropped": cropped}
+            self.have_track = False
+        return mu, lik, cropped
 
 
 def estimate_pose_dynamic_video(proj_cfg_file, dgp_model_file, video_file,
@@ -165,19 +185,35 @@ def estimate_pose_dynamic_video(proj_cfg_file, dgp_model_file, video_file,
     _, cfg, _ = resolve_project(Path(proj_cfg_file).parent, shuffle)
     reader = VideoReader(video_file)
     n = min(reader.n_frames, max_frames) if max_frames else reader.n_frames
-    frames = np.stack([f for _, f in reader.iter_frames(0, n)])
-    reader.close()
 
     dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
              else jnp.float32)
     model, variables = init_model(cfg, jax.random.PRNGKey(0),
-                                  frames.shape[1:3], dtype=dtype)
+                                  (reader.height, reader.width), dtype=dtype)
     variables, _ = ckpt_lib.load_snapshot(dgp_model_file, variables)
 
-    out = estimate_pose_dynamic(model, cfg, variables, frames,
-                                crop_hw=crop_hw,
-                                detection_threshold=detection_threshold,
-                                margin=margin, chunk=batch_size)
+    # stream chunk-by-chunk with persistent tracking state: an hour-long
+    # video does not fit host RAM
+    tracker = DynamicTracker(model, cfg, (reader.height, reader.width),
+                             crop_hw=crop_hw,
+                             detection_threshold=detection_threshold,
+                             margin=margin)
+    nj = cfg.num_joints
+    out = {"mu": np.zeros((n, nj, 2)), "likelihoods": np.zeros((n, nj)),
+           "cropped": np.zeros(n, bool)}
+    buf, start = [], 0
+    for i, frame in reader.iter_frames(0, n):
+        buf.append(frame)
+        if len(buf) == batch_size or i == n - 1:
+            mu, lik, was_cropped = tracker.process_chunk(variables,
+                                                         np.stack(buf))
+            end = start + len(buf)
+            out["mu"][start:end] = mu
+            out["likelihoods"][start:end] = lik
+            out["cropped"][start:end] = was_cropped
+            start = end
+            buf = []
+    reader.close()
     s = cfg.stride
     labels = {"x": out["mu"][:, :, 1] * s + s / 2,
               "y": out["mu"][:, :, 0] * s + s / 2,

@@ -129,7 +129,8 @@ def calibrate_cameras(config3d: str | Path, cbrow: int = 8, cbcol: int = 6,
             if corners is None:
                 print(f"no checkerboard in {p.name}")
                 continue
-            key = p.stem.split("-", 1)[1]
+            # pair key = image id after the '<camera-name>-' prefix
+            key = p.stem[len(n) + 1:]
             per_cam[n][key] = corners
     common = sorted(set.intersection(*[set(per_cam[n]) for n in names]))
     if not common:

@@ -58,7 +58,7 @@ def create_labeled_video_3d(config3d: str | Path, xyz: np.ndarray,
     idx = {bp: j for j, bp in enumerate(bodyparts)}
 
     end = end if end is not None else xyz.shape[0]
-    finite = xyz[np.isfinite(xyz[..., 0])]
+    finite = xyz[np.isfinite(xyz).all(axis=-1)]
     if finite.size == 0:
         raise ValueError("no finite 3-D points to plot")
     lo, hi = finite.min(axis=0), finite.max(axis=0)

@@ -26,10 +26,10 @@ def undistort_points(pts_xy: np.ndarray, K: np.ndarray, dist: np.ndarray,
     finite = np.isfinite(pts).all(axis=(1, 2))
     out = np.full_like(pts, np.nan)
     if finite.any():
-        und = cv2.undistortPoints(
-            pts[finite], K, dist,
-            P=P[:, :3] if P is not None and P.shape == (3, 4) else
-            (P if P is not None else K))
+        # cv2.undistortPoints accepts 3x4 P directly; never truncate it
+        # (dropping the translation column would silently shift the points)
+        und = cv2.undistortPoints(pts[finite], K, dist,
+                                  P=P if P is not None else K)
         out[finite] = und
     return out.reshape(shape)
 
@@ -103,6 +103,7 @@ def triangulate(config3d: str | Path, h5_cam1: str | Path,
     result = {"xyz": xyz, "bodyparts": bps1,
               "likelihood_mask": ~mask}
     out_dir = Path(destfolder) if destfolder else Path(h5_cam1).parent
+    out_dir.mkdir(parents=True, exist_ok=True)
     stem = output_name or (Path(h5_cam1).stem + "_"
                            + cfg.get("scorername_3d", "DGP_3D"))
     _write_xyz(out_dir / f"{stem}_3d", bps1, xyz)

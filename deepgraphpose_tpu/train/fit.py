@@ -239,9 +239,10 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
     for it, imgs, coords, present in pf:
         variables, opt_state, out = train_step(
             variables, opt_state, imgs, coords, present, it)
+        timer.tick()
         if displayiters and it % displayiters == 0:
             loss = float(out["total_loss"])
-            timer.step(it, loss=loss)
+            timer.write(it, loss=loss)
             print(f"[fit_dlc] iter {it}/{maxiters} loss {loss:.4f} "
                   f"({time.time() - t0:.1f}s)", flush=True)
             stats.append([it, loss])
@@ -433,10 +434,11 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
     for it, images, batch in pf:
         variables, opt_state, out = train_step(variables, opt_state, images,
                                                batch)
+        timer.tick()
         if displayiters and it % displayiters == 0:
             key = "total_loss_visible" if visible_only else "total_loss"
             loss = float(out[key])
-            timer.step(it, loss=loss)
+            timer.write(it, loss=loss)
             print(f"[{name}] iter {it}/{n_iters} loss {loss:.4f} "
                   f"({time.time() - t0:.1f}s)", flush=True)
             stats.append([it, loss])

@@ -64,18 +64,32 @@ class StepTimer:
             self.path.parent.mkdir(parents=True, exist_ok=True)
             self._fh = open(self.path, "a", buffering=1)
 
-    def step(self, iteration: int, **metrics) -> float:
-        """Record one step; returns its wall duration (seconds)."""
+    def tick(self) -> float:
+        """Record one step's wall duration without writing a record.
+
+        Call once per training iteration; pair with :meth:`write` at
+        display intervals so 'step_seconds' stays a true per-step number.
+        """
         now = time.perf_counter()
         dt = now - self._t_last
         self._t_last = now
         self._durations.append(dt)
         if len(self._durations) > self.window:
             self._durations.pop(0)
+        return dt
+
+    def write(self, iteration: int, **metrics) -> None:
+        """Emit a JSONL record with the rolling mean step time."""
         if self._fh:
             self._fh.write(json.dumps(
-                {"iteration": iteration, "step_seconds": round(dt, 6),
+                {"iteration": iteration,
+                 "step_seconds": round(self.mean_step_seconds, 6),
                  **metrics}) + "\n")
+
+    def step(self, iteration: int, **metrics) -> float:
+        """tick() + write() in one call (for loops that log every step)."""
+        dt = self.tick()
+        self.write(iteration, **metrics)
         return dt
 
     @property
