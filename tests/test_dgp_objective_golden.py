@@ -66,9 +66,26 @@ def _np_dgp_loss(pred, locref_pred, batch, p):
     ce = _np_ce(g, pred_m)
     vis_loss = (ce * vis[:, None, None]).sum() / (vis.sum() * h * w)
 
-    hid_loss = (ce * hid[:, None, None]).sum() / (hid.sum() * h * w)
+    # gm2 confidence scaling (ref: fitdgp.py:994-1021)
+    gauss_h = g
+    sig = 1 / (1 + np.exp(-pred_m))
+    pgm = sig.max(axis=(1, 2))
+    scaled = sig * pgm[:, None, None]
+    logit_scaled = (-np.log(1 - scaled + 1e-20) + np.log(scaled + 1e-20))
+    if p.gm2 == 1:
+        gauss_h = g * pgm[:, None, None]
+
     pop = p.n_visible_frames_total / p.n_hidden_frames_total
-    hid_loss *= pop * (hid.sum() / vis.sum()) * (p.wn_hidden / p.wn_visible)
+    hscale = pop * (hid.sum() / vis.sum()) * (p.wn_hidden / p.wn_visible)
+    if p.gm3 == 3:
+        ce_h = _np_ce(gauss_h, logit_scaled)
+        wm = (1 - pgm) * hid
+        hid_loss = ((ce_h * wm[:, None, None]).sum()
+                    / ((wm != 0).sum() * h * w)) * hscale
+    else:
+        ce_h = _np_ce(gauss_h, pred_m)
+        hid_loss = ((ce_h * hid[:, None, None]).sum()
+                    / (hid.sum() * h * w)) * hscale
 
     # locref huber on visible markers (disk around labels)
     px = targets[..., 1] * p.stride + p.stride / 2     # x
@@ -128,7 +145,8 @@ def _np_dgp_loss(pred, locref_pred, batch, p):
     }
 
 
-def test_full_objective_matches_numpy(rng):
+@pytest.mark.parametrize("gm2,gm3", [(0, 0), (1, 0), (2, 3), (1, 3)])
+def test_full_objective_matches_numpy(rng, gm2, gm3):
     t, h, w, nj = 4, 10, 12, 3
     n = t * nj
     pred = (rng.standard_normal((t, h, w, nj)) * 2).astype(np.float32)
@@ -159,7 +177,7 @@ def test_full_objective_matches_numpy(rng):
         nj=nj, stride=8.0, gamma=1.0, gauss_len=1.0, lengthscale=1.0,
         pos_dist_thresh=17.0, locref_stdev=7.2801, locref_loss_weight=0.05,
         locref_huber_loss=True, wn_visible=5.0, wn_hidden=3.0, wt=1.3,
-        wt_max=0.5, gm2=0, gm3=0, n_visible_frames_total=11.0,
+        wt_max=0.5, gm2=gm2, gm3=gm3, n_visible_frames_total=11.0,
         n_hidden_frames_total=29.0, S0=S0,
         ws=np.array([0.4, 0.9], np.float32),
         ws_max=np.array([30.0, 22.0], np.float32))
