@@ -82,6 +82,41 @@ def read_pose_table(path: str | Path) -> tuple[str, list, dict, list]:
     return scorer, bodyparts, labels, index
 
 
+def export_multi_pose_like_dlc(pose: "np.ndarray", scorer: str,
+                               joints_names: list, save_file: str) -> None:
+    """num_outputs > 1 export: (T, nj, k, 3) [x, y, likelihood] per peak.
+
+    Column convention matches the reference (ref: predict_videos.py:188-196):
+    per joint, ['x', 'y', 'likelihood', 'x2', 'y2', 'likelihood2', ...] —
+    the first peak keeps the unsuffixed names for backwards compatibility.
+    """
+    import h5py
+
+    t, nj, k, _ = pose.shape
+    suffixes = [""] + [str(s + 1) for s in range(1, k)]
+    labs = [f"{ax}{s}" for s in suffixes for ax in ("x", "y", "likelihood")]
+    # (T, nj, k, 3) -> (T, nj * 3k) with peak-major inner order
+    flat = pose.transpose(0, 1, 2, 3).reshape(t, nj * 3 * k)
+
+    with open(save_file + ".csv", "w", newline="") as f:
+        f.write("scorer," + ",".join([scorer] * nj * 3 * k) + "\n")
+        f.write("bodyparts," + ",".join(
+            [bp for bp in joints_names for _ in range(3 * k)]) + "\n")
+        f.write("coords," + ",".join(labs * nj) + "\n")
+        for i in range(t):
+            f.write(str(i) + "," + ",".join(repr(float(v))
+                                            for v in flat[i]) + "\n")
+    with h5py.File(save_file + ".h5", "w") as f:
+        g = f.create_group("df_with_missing")
+        g.attrs["scorer"] = scorer
+        g.attrs["num_outputs"] = k
+        g.create_dataset("data", data=flat)
+        g.create_dataset("bodyparts",
+                         data=np.array(joints_names, dtype="S"))
+        g.create_dataset("coords", data=np.array(labs, dtype="S"))
+        g.create_dataset("index", data=np.arange(t))
+
+
 def load_pose_from_dlc(filename: str) -> dict:
     """Read a DLC-format trajectory CSV back into {'x','y','likelihoods'}
     (ref: eval.py:648-653 load_pose_from_dlc_to_dict)."""

@@ -70,6 +70,25 @@ def make_infer_fn(model, cfg: PoseConfig):
     return jax.jit(functools.partial(infer_forward, model, cfg))
 
 
+def make_multi_infer_fn(model, cfg: PoseConfig, num_outputs: int):
+    """Jitted top-k decode for num_outputs > 1 (ref: predict_videos.py
+    num_outputs path + predict.py:79-116 multi_pose_predict).
+
+    (variables, uint8 images) -> (B, nj, num_outputs, 3) [x, y, likelihood]
+    in pixel coordinates.
+    """
+    from deepgraphpose_tpu.ops.decode import multi_pose_decode
+
+    @jax.jit
+    def fn(variables, images_u8):
+        heads = model.apply(variables, images_u8.astype(jnp.float32))
+        return multi_pose_decode(heads["part_pred"], heads.get("locref"),
+                                 num_outputs, stride=cfg.stride,
+                                 locref_stdev=cfg.locref_stdev)
+
+    return fn
+
+
 def _batch_producer(reader: VideoReader, batch_size: int,
                     new_size=None, crop=None, max_frames=None):
     """Yield (start_index, n_valid, uint8 batch) with last-batch padding."""

@@ -80,3 +80,33 @@ def test_multi_pose_decode_first_peak_equals_argmax(rng):
     # likelihoods must match exactly and be descending per joint
     np.testing.assert_allclose(multi[:, :, 0, 2], single[:, :, 2], rtol=1e-5)
     assert (np.diff(multi[..., 2], axis=2) <= 1e-6).all()
+
+
+def test_make_multi_infer_fn_and_export(tmp_path, rng):
+    import jax
+
+    from deepgraphpose_tpu.core.config import PoseConfig
+    from deepgraphpose_tpu.infer.export import export_multi_pose_like_dlc
+    from deepgraphpose_tpu.infer.predict import make_multi_infer_fn
+    from deepgraphpose_tpu.models.pose_model import init_model
+
+    cfg = PoseConfig(num_joints=2, net_type="resnet_50",
+                     all_joints_names=["a", "b"])
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (32, 32))
+    frames = rng.integers(0, 255, (3, 32, 32, 3), dtype=np.uint8)
+    infer = make_multi_infer_fn(model, cfg, num_outputs=2)
+    pose = np.asarray(infer(variables, jnp.asarray(frames)))
+    assert pose.shape == (3, 2, 2, 3)
+    assert (np.diff(pose[..., 2], axis=2) <= 1e-6).all()  # peaks descending
+
+    export_multi_pose_like_dlc(pose, "scorer", ["a", "b"],
+                               str(tmp_path / "multi"))
+    lines = (tmp_path / "multi.csv").read_text().splitlines()
+    assert lines[2].split(",")[1:7] == ["x", "y", "likelihood",
+                                        "x2", "y2", "likelihood2"]
+    assert len(lines) == 3 + 3
+    import h5py
+
+    with h5py.File(tmp_path / "multi.h5") as f:
+        assert f["df_with_missing"].attrs["num_outputs"] == 2
+        assert f["df_with_missing"]["data"].shape == (3, 12)
