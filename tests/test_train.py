@@ -187,3 +187,50 @@ def test_three_step_pipeline_smoke(tiny_project):
     stats = Path(root, "dlc-models/iteration-0/SynthJan1-trainset95shuffle1",
                  "train", "learning_stats.csv")
     assert stats.exists()
+
+
+def test_dgp_train_step_bfloat16():
+    """bf16 compute path: finite losses, params actually update, and the
+    loss stays within a few percent of the f32 value on the same batch."""
+    cfg = _small_cfg()
+    nj = 3
+    S0 = np.array([[1.0, -1.0, 0.0]])
+    lp = DGPLossParams(
+        nj=nj, stride=8.0, gamma=1.0, gauss_len=1.0, lengthscale=1.0,
+        pos_dist_thresh=9, locref_stdev=7.2801, locref_loss_weight=0.05,
+        locref_huber_loss=True, wn_visible=5.0, wn_hidden=3.0, wt=0.0,
+        wt_max=0.0, gm2=0, gm3=0, n_visible_frames_total=6.0,
+        n_hidden_frames_total=10.0, S0=S0, ws=np.array([2.0], np.float32),
+        ws_max=np.array([50.0], np.float32))
+    rng = np.random.default_rng(1)
+    t = 3
+    imgs = jnp.asarray(rng.uniform(0, 255, (t, 32, 32, 3)), jnp.float32)
+    vis = np.zeros(t * nj, np.float32)
+    vis[:nj] = 1
+    batch = dict(
+        targets=jnp.asarray(rng.uniform(0, 3, (t, nj, 2)), jnp.float32),
+        visible_mask=jnp.asarray(vis),
+        hidden_mask=jnp.asarray(1 - vis),
+        frame_mask=jnp.ones(t),
+        wt_batch=jnp.zeros(t - 1),
+        pair_mask=jnp.ones(t - 1),
+        flow=jnp.zeros((t - 1, 32, 32)))
+
+    losses = {}
+    for dtype in (jnp.float32, jnp.bfloat16):
+        model, variables = init_model(cfg, jax.random.PRNGKey(0), (32, 32),
+                                      dtype=dtype)
+        tx = steps_lib.make_optimizer(0.005, clip_norm=10.0)
+        opt_state = tx.init(variables["params"])
+        step = steps_lib.make_dgp_train_step(model, lp, tx)
+        before = np.asarray(
+            jax.tree_util.tree_leaves(variables["params"])[0]).copy()
+        variables, opt_state, out = step(variables, opt_state, imgs, batch)
+        after = np.asarray(jax.tree_util.tree_leaves(variables["params"])[0])
+        assert np.isfinite(float(out["total_loss"]))
+        assert not np.array_equal(before, after)
+        # params must stay f32 under mixed precision
+        assert after.dtype == np.float32
+        losses[dtype] = float(out["total_loss"])
+    assert losses[jnp.bfloat16] == pytest.approx(losses[jnp.float32],
+                                                 rel=0.05)
