@@ -72,6 +72,95 @@ def make_time_sharded_infer_fn(model, cfg, mesh):
         out_shardings=(NamedSharding(mesh, P(DATA_AXIS)),) * 3)
 
 
+def estimate_pose_multichip(proj_cfg_file, dgp_model_file, video_file,
+                            output_dir, mesh=None, shuffle: int = 1,
+                            frames_per_device: int = 16,
+                            max_frames: int | None = None,
+                            save_pose: bool = True, save_str: str = "",
+                            smooth: bool = False,
+                            compute_dtype=None) -> dict:
+    """Full-video inference with the time axis sharded over a device mesh.
+
+    The hour-long-video configuration (BASELINE.json config #5): each
+    super-batch of ``n_devices * frames_per_device`` frames is sharded over
+    the mesh; decode is local, the temporal displacement crosses shard
+    boundaries via the ppermute halo, and (optionally) the exact
+    time-sharded EWMA smoother runs on device. Exports DLC-format CSV/H5
+    like estimate_pose.
+    """
+    from pathlib import Path
+
+    import numpy as np
+
+    from deepgraphpose_tpu.core import checkpoint as ckpt_lib
+    from deepgraphpose_tpu.data.video import VideoReader
+    from deepgraphpose_tpu.infer.export import export_pose_like_dlc
+    from deepgraphpose_tpu.models.pose_model import init_model
+    from deepgraphpose_tpu.parallel.mesh import make_mesh
+    from deepgraphpose_tpu.train.fit import resolve_project
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.shape[DATA_AXIS]
+    super_batch = n_dev * frames_per_device
+
+    _, cfg, _ = resolve_project(Path(proj_cfg_file).parent, shuffle)
+    reader = VideoReader(video_file)
+    n_total = (min(reader.n_frames, max_frames) if max_frames
+               else reader.n_frames)
+
+    dtype = compute_dtype
+    if dtype is None:
+        dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                 else jnp.float32)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0),
+                                  (reader.height, reader.width), dtype=dtype)
+    variables, _ = ckpt_lib.load_snapshot(dgp_model_file, variables)
+    infer = make_time_sharded_infer_fn(model, cfg, mesh)
+    smoother = make_time_sharded_smoother(mesh) if smooth else None
+
+    nj = cfg.num_joints
+    mu_all = np.zeros((n_total, nj, 2))
+    lik_all = np.zeros((n_total, nj))
+    disp_all = np.zeros((n_total, nj))
+
+    buf, start = [], 0
+    for i, frame in reader.iter_frames(0, n_total):
+        buf.append(frame)
+        if len(buf) == super_batch or i == n_total - 1:
+            n_valid = len(buf)
+            pad = super_batch - n_valid
+            arr = np.stack(buf + [buf[-1]] * pad)
+            mu, lik, disp = infer(variables, jnp.asarray(arr))
+            if smoother is not None:
+                mu = smoother(mu, lik)
+            end = start + n_valid
+            mu_all[start:end] = np.asarray(mu)[:n_valid]
+            lik_all[start:end] = np.asarray(lik)[:n_valid]
+            disp_all[start:end] = np.asarray(disp)[:n_valid]
+            if start > 0:
+                # the halo is per super-batch; stitch the boundary pair here
+                disp_all[start] = np.linalg.norm(
+                    mu_all[start] - mu_all[start - 1], axis=-1)
+            start = end
+            buf = []
+    reader.close()
+
+    s = cfg.stride
+    labels = {"x": mu_all[:, :, 1] * s + s / 2,
+              "y": mu_all[:, :, 0] * s + s / 2,
+              "likelihoods": lik_all, "displacement": disp_all}
+    if save_pose:
+        output_dir = Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        names = cfg.all_joints_names or [f"bp{i}" for i in range(nj)]
+        export_pose_like_dlc(
+            {k: labels[k] for k in ("x", "y", "likelihoods")},
+            Path(dgp_model_file).stem, names,
+            str(output_dir / (Path(video_file).stem + save_str)))
+    return labels
+
+
 def ewma_reference(mu, lik, alpha: float = 0.5, pcutoff: float = 0.4):
     """Sequential confidence-gated EWMA (numpy/jnp, for tests + CPU path).
 

@@ -85,3 +85,55 @@ def test_reaching_fit_dlc_and_evaluate(reaching_copy):
     assert final is not None and final.exists()
     res = evaluate_dgp(reaching_copy / "config.yaml", final, shuffle=1)
     assert np.isfinite(res["train_error"])
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="full 4-step DGP pipeline at real resolution on "
+                           "CPU; set RUN_SLOW=1 to run")
+def test_reaching_full_pipeline_with_synthesized_video(reaching_copy):
+    """The de-facto integration test of the reference (`run_dgp_demo --test`,
+    SURVEY §4) on the real project. The bundled videos are LFS-stripped, so
+    a stand-in video is synthesized from the 44 labeled full-res PNGs at
+    their original frame indices (img<NNN>.png -> frame NNN), keeping the
+    label <-> frame mapping intact."""
+    import subprocess
+    import sys
+
+    import cv2
+
+    vdir = reaching_copy / "labeled-data" / "reachingvideo1"
+    pngs = {int("".join(c for c in p.stem if c.isdigit())): p
+            for p in vdir.glob("img*.png")}
+    n_frames = max(pngs) + 3
+    first = cv2.imread(str(pngs[min(pngs)]))
+    h, w = first.shape[:2]
+    for out_dir in ("videos", "videos_dgp"):
+        (reaching_copy / out_dir).mkdir(exist_ok=True)
+    wr = cv2.VideoWriter(
+        str(reaching_copy / "videos" / "reachingvideo1.avi"),
+        cv2.VideoWriter_fourcc(*"MJPG"), 30.0, (w, h))
+    cur = first
+    for i in range(n_frames):
+        if i in pngs:
+            cur = cv2.imread(str(pngs[i]))
+        wr.write(cur)
+    wr.release()
+    shutil.copy(reaching_copy / "videos" / "reachingvideo1.avi",
+                reaching_copy / "videos_dgp" / "reachingvideo1.avi")
+
+    repo = Path(__file__).parent.parent
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=f"{repo}:{os.environ.get('PYTHONPATH', '')}")
+    proc = subprocess.run(
+        [sys.executable, str(repo / "demo" / "run_dgp_demo.py"),
+         "--dlcpath", str(reaching_copy), "--test"],
+        env=env, capture_output=True, text=True, timeout=3600)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+
+    train_dir = next(reaching_copy.glob(
+        "dlc-models/iteration-0/*/train"))
+    for step in (0, 1, 2):
+        assert (train_dir / f"snapshot-step{step}-final--0.ckpt").exists()
+    pred = reaching_copy / "videos_pred"
+    assert (pred / "reachingvideo1.csv").exists()
+    assert (pred / "reachingvideo1_labeled.mp4").exists()

@@ -69,3 +69,32 @@ def test_time_sharded_infer_matches_unsharded(mesh8, rng):
     want[1:] = np.linalg.norm(mu_u[1:] - mu_u[:-1], axis=-1)
     np.testing.assert_allclose(disp, want, rtol=1e-3, atol=1e-3)
     assert disp[0].max() == 0.0
+
+
+def test_estimate_pose_multichip(mesh8, synthetic_project, tmp_path):
+    """Full-video multichip inference over the synthetic project on the
+    8-device CPU mesh, with export + smoothing."""
+    import jax.numpy as jnp
+    from pathlib import Path
+
+    from deepgraphpose_tpu.core import checkpoint as ckpt_lib
+    from deepgraphpose_tpu.models.pose_model import init_model
+    from deepgraphpose_tpu.parallel.streaming import estimate_pose_multichip
+    from deepgraphpose_tpu.train.fit import resolve_project
+
+    root, _, _ = synthetic_project
+    root = Path(root)
+    _, cfg, train_dir = resolve_project(root, 1)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (64, 80))
+    snap = ckpt_lib.save_snapshot(train_dir, 2, "mc--0", variables)
+
+    out = estimate_pose_multichip(
+        root / "config.yaml", snap, root / "videos" / "synthvid.avi",
+        tmp_path, mesh=mesh8, frames_per_device=2, max_frames=20,
+        smooth=True, compute_dtype=jnp.float32)
+    assert out["x"].shape == (20, 3)
+    assert np.isfinite(out["x"]).all()
+    assert out["displacement"].shape == (20, 3)
+    assert out["displacement"][0].max() == 0.0
+    assert (tmp_path / "synthvid.csv").exists()
+    assert (tmp_path / "synthvid.h5").exists()
