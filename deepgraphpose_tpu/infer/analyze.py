@@ -69,6 +69,7 @@ def analyze_videos(config: str | Path, videos: list, shuffle: int = 1,
                    batchsize: int | None = None,
                    snapshot: str | None = None,
                    cropping: tuple | None = None,
+                   num_outputs: int = 1,
                    max_frames: int | None = None) -> str:
     """Analyze every video; returns the DLC scorer string.
 
@@ -116,19 +117,24 @@ def analyze_videos(config: str | Path, videos: list, shuffle: int = 1,
             continue
 
         t0 = time.time()
-        labels = estimate_pose(
-            proj_cfg_file=config, dgp_model_file=snap_path,
-            video_file=video, output_dir=dest, shuffle=shuffle,
-            save_pose=False, crop=crop, batch_size=batchsize,
-            max_frames=max_frames, pose_cfg=pose_cfg)
+        if num_outputs > 1:
+            n = _analyze_multi(config, snap_path, video, dest, shuffle,
+                               pose_cfg, scorer, names, num_outputs,
+                               batchsize, max_frames, save_as_csv)
+            labels = None
+        else:
+            labels = estimate_pose(
+                proj_cfg_file=config, dgp_model_file=snap_path,
+                video_file=video, output_dir=dest, shuffle=shuffle,
+                save_pose=False, crop=crop, batch_size=batchsize,
+                max_frames=max_frames, pose_cfg=pose_cfg)
+            n = labels["x"].shape[0]
+            # writes <stem>.csv + <stem>.h5 with the scorer layout
+            export_pose_like_dlc(labels, scorer, names,
+                                 str(dataname.with_suffix("")))
+            if not save_as_csv:
+                dataname.with_suffix(".csv").unlink(missing_ok=True)
         t1 = time.time()
-
-        n = labels["x"].shape[0]
-        # writes <stem>.csv + <stem>.h5 with the scorer MultiIndex layout
-        export_pose_like_dlc(labels, scorer, names,
-                             str(dataname.with_suffix("")))
-        if not save_as_csv:
-            dataname.with_suffix(".csv").unlink(missing_ok=True)
 
         reader = VideoReader(video)
         nx, ny = reader.width, reader.height
@@ -150,6 +156,53 @@ def analyze_videos(config: str | Path, videos: list, shuffle: int = 1,
             pickle.dump(meta, f)
         print(f"analyzed {video.name}: {n} frames in {t1 - t0:.1f}s")
     return scorer
+
+
+def _analyze_multi(config, snap_path, video, dest, shuffle, pose_cfg,
+                   scorer, names, num_outputs, batchsize, max_frames,
+                   save_as_csv) -> int:
+    """num_outputs > 1 path: top-k decode per joint, suffixed-column export
+    (ref: predict_videos.py:188-196 + multi_pose_predict)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepgraphpose_tpu.core import checkpoint as _ckpt
+    from deepgraphpose_tpu.data.video import VideoReader
+    from deepgraphpose_tpu.infer.export import export_multi_pose_like_dlc
+    from deepgraphpose_tpu.infer.predict import make_multi_infer_fn
+    from deepgraphpose_tpu.models.pose_model import init_model
+
+    reader = VideoReader(video)
+    n = (min(reader.n_frames, max_frames) if max_frames
+         else reader.n_frames)
+    bs = batchsize or pose_cfg.infer_batch_size
+    dtype = (jnp.bfloat16 if pose_cfg.compute_dtype == "bfloat16"
+             else jnp.float32)
+    model, variables = init_model(pose_cfg, jax.random.PRNGKey(0),
+                                  (reader.height, reader.width), dtype=dtype)
+    variables, _ = _ckpt.load_snapshot(snap_path, variables)
+    infer = make_multi_infer_fn(model, pose_cfg, num_outputs)
+
+    nj = pose_cfg.num_joints
+    pose_all = np.zeros((n, nj, num_outputs, 3))
+    buf, start = [], 0
+    for i, frame in reader.iter_frames(0, n):
+        buf.append(frame)
+        if len(buf) == bs or i == n - 1:
+            pad = bs - len(buf)
+            arr = np.stack(buf + [buf[-1]] * pad)
+            pose = np.asarray(infer(variables, jnp.asarray(arr)))
+            end = start + len(buf)
+            pose_all[start:end] = pose[:len(buf)]
+            start = end
+            buf = []
+    reader.close()
+    export_multi_pose_like_dlc(pose_all, scorer, names,
+                               str(dest / f"{video.stem}{scorer}"))
+    if not save_as_csv:
+        Path(str(dest / f"{video.stem}{scorer}") + ".csv").unlink(
+            missing_ok=True)
+    return n
 
 
 def analyze_time_lapse_frames(config: str | Path, directory: str | Path,

@@ -140,3 +140,31 @@ def test_evaluate_network_combined_csv(project_with_snapshot):
     lines = csv_path.read_text().strip().splitlines()
     assert lines[0].startswith("snapshot,")
     assert lines[-1].startswith("snapshot-step2-final--0,1,")
+
+
+def test_analyze_videos_num_outputs(project_with_snapshot, tmp_path):
+    import h5py
+
+    from deepgraphpose_tpu.infer.analyze import analyze_videos
+
+    root, _ = project_with_snapshot
+    video = Path(root) / "videos" / "synthvid.avi"
+    scorer = analyze_videos(Path(root) / "config.yaml", [video],
+                            destfolder=tmp_path, num_outputs=2,
+                            max_frames=8, batchsize=4)
+    h5 = tmp_path / f"{video.stem}{scorer}.h5"
+    assert h5.exists()
+    with h5py.File(h5) as f:
+        g = f["df_with_missing"]
+        assert g.attrs["num_outputs"] == 2
+        assert g["data"].shape == (8, 3 * 2 * 3)  # nj=3, k=2, xyl
+
+
+def test_extract_save_all_maps(project_with_snapshot, tmp_path):
+    from deepgraphpose_tpu.evaluation.maps import extract_save_all_maps
+
+    root, _ = project_with_snapshot
+    out = extract_save_all_maps(Path(root) / "config.yaml", shuffle=1,
+                                indices=[0, 1], dest_folder=tmp_path)
+    assert len(out) == 2
+    assert all(p.exists() and p.stat().st_size > 0 for p in out)
