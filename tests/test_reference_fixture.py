@@ -136,4 +136,10 @@ def test_reaching_full_pipeline_with_synthesized_video(reaching_copy):
         assert (train_dir / f"snapshot-step{step}-final--0.ckpt").exists()
     pred = reaching_copy / "videos_pred"
     assert (pred / "reachingvideo1.csv").exists()
-    assert (pred / "reachingvideo1_labeled.mp4").exists()
+    labeled = pred / "reachingvideo1_labeled.mp4"
+    assert labeled.exists()
+    cap = cv2.VideoCapture(str(labeled))
+    n_out = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    ok, _ = cap.read()
+    cap.release()
+    assert ok and n_out > 0, f"labeled video unreadable ({n_out} frames)"
