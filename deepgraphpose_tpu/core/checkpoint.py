@@ -134,3 +134,69 @@ def _prune_snapshots(train_dir: Path, step: int, max_to_keep: int,
     snaps.sort(key=_snapshot_iter)
     for p in snaps[:-max_to_keep] if max_to_keep > 0 else []:
         p.unlink(missing_ok=True)
+
+
+def latest_intermediate_snapshot(train_dir: str | Path, step: int,
+                                 debug: str = "") -> tuple[Path, int] | None:
+    """(path, iteration) of the newest non-final snapshot for mid-step
+    resume — a capability the reference lacks (SURVEY §5: 'Resume-mid-step
+    is not supported' there; only skip-if-final)."""
+    train_dir = Path(train_dir)
+    snaps = [p for p in train_dir.glob(
+        f"snapshot-step{step}{debug}-*{CKPT_SUFFIX}")
+        if "final" not in p.name]
+    if not snaps:
+        return None
+    best = max(snaps, key=_snapshot_iter)
+    m = re.search(r"-(\d+)\.ckpt$", best.name)
+    return (best, int(m.group(1))) if m else None
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (optional)
+# ---------------------------------------------------------------------------
+# The single-file msgpack format above is the default (keeps the
+# snapshot-name contract 1:1 with the reference's flat train/ directory).
+# For multi-host / async / sharded-array checkpointing, the same payloads
+# can go through Orbax: each snapshot becomes a directory
+# ``<train_dir>/<snapshot-name>.orbax/``. SURVEY §5 names Orbax as the TPU
+# equivalent of the reference's TF Saver.
+
+def save_snapshot_orbax(train_dir: str | Path, step: int,
+                        iteration: int | str, variables: dict,
+                        opt_state=None, debug: str = "") -> Path:
+    """Write ``snapshot-step{step}-{iteration}.orbax/`` via Orbax."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    train_dir = Path(train_dir)
+    train_dir.mkdir(parents=True, exist_ok=True)
+    name = paths_lib.snapshot_name(step, iteration, debug)
+    path = (train_dir / f"{name}.orbax").resolve()
+    payload = {"variables": serialization.to_state_dict(
+        jax.device_get(variables))}
+    if opt_state is not None:
+        payload["opt_state"] = serialization.to_state_dict(
+            jax.device_get(opt_state))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_snapshot_orbax(path: str | Path, variables_template=None,
+                        opt_state_template=None):
+    """Restore an Orbax snapshot directory; mirrors load_snapshot."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    raw = ckptr.restore(Path(path).resolve())
+    variables = raw["variables"]
+    if variables_template is not None:
+        variables = serialization.from_state_dict(variables_template,
+                                                  variables)
+    opt_state = raw.get("opt_state")
+    if opt_state is not None and opt_state_template is not None:
+        opt_state = serialization.from_state_dict(opt_state_template,
+                                                  opt_state)
+    return variables, opt_state

@@ -221,11 +221,26 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
     opt_state = tx.init(variables["params"])
     train_step = steps_lib.make_dlc_train_step(model, cfg, tx)
 
+    # mid-step resume from the latest intermediate snapshot (see
+    # _fit_dgp_impl; the reference only supports skip-if-final)
+    start_it = 0
+    inter = ckpt_lib.latest_intermediate_snapshot(train_dir, step)
+    if inter is not None:
+        snap_path, snap_it = inter
+        variables, opt_state = ckpt_lib.load_snapshot(
+            snap_path, variables, opt_state)
+        if opt_state is None:
+            opt_state = tx.init(variables["params"])
+        start_it = snap_it + 1
+        print(f"resuming fit_dlc from {snap_path.name} "
+              f"(iteration {start_it})")
+
     def producer():
         it = 0
         while it < maxiters:
             idxs = rng.integers(0, len(data), size=bs)
-            yield (it, *data.batch(idxs))
+            if it >= start_it:
+                yield (it, *data.batch(idxs))
             it += 1
 
     def transfer(item):
@@ -381,6 +396,21 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
     train_step = steps_lib.make_dgp_train_step(
         model, loss_params, tx, visible_only=visible_only)
 
+    # mid-step resume: continue from the latest intermediate snapshot
+    # (variables AND optimizer state) — the reference can only skip-if-final
+    # (SURVEY §5)
+    start_it = 0
+    inter = ckpt_lib.latest_intermediate_snapshot(train_dir, step, debug)
+    if inter is not None:
+        snap_path, snap_it = inter
+        variables, opt_state = ckpt_lib.load_snapshot(
+            snap_path, variables, opt_state)
+        if opt_state is None:
+            opt_state = tx.init(variables["params"])
+        start_it = snap_it + 1
+        print(f"resuming step {step} from {snap_path.name} "
+              f"(iteration {start_it})")
+
     augmenter = Augmenter(apply_prob=0.8) if (aug and wt == 0) else None
 
     # schedule (ref: gen_batch for step 2; random visible frames for step 1)
@@ -408,6 +438,8 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
 
     def producer():
         for it, (ds_i, frames) in enumerate(schedule):
+            if it < start_it:
+                continue
             d = mds.datasets[ds_i]
             vis_set = set(int(f) for f in d.visible_frames)
             vis = np.array([f for f in frames if int(f) in vis_set], np.int64)

@@ -67,3 +67,28 @@ def test_data_metadata_filenames():
     datafn, metafn = paths.data_and_metadata_filenames(tsf, 0.95, 1, cfg)
     assert datafn.endswith("Reaching_Mackenzie95shuffle1.mat")
     assert metafn.endswith("Documentation_data-Reaching_95shuffle1.pickle")
+
+
+def test_orbax_snapshot_roundtrip(tmp_path):
+    """Optional Orbax backend mirrors the msgpack snapshot payloads."""
+    import numpy as np
+
+    pytest_orbax = __import__("pytest")
+    try:
+        import orbax.checkpoint  # noqa: F401
+    except ImportError:
+        pytest_orbax.skip("orbax not available")
+
+    from deepgraphpose_tpu.core import checkpoint as ckpt_lib
+
+    variables = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+                 "batch_stats": {"m": np.ones(3, np.float32)}}
+    opt_state = {"momentum": np.full(3, 0.5, np.float32)}
+    path = ckpt_lib.save_snapshot_orbax(tmp_path, 2, 7, variables, opt_state)
+    assert path.name == "snapshot-step2-7.orbax"
+    got_vars, got_opt = ckpt_lib.load_snapshot_orbax(path, variables,
+                                                     opt_state)
+    np.testing.assert_array_equal(got_vars["params"]["w"],
+                                  variables["params"]["w"])
+    np.testing.assert_array_equal(got_opt["momentum"],
+                                  opt_state["momentum"])

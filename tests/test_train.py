@@ -234,3 +234,49 @@ def test_dgp_train_step_bfloat16():
         losses[dtype] = float(out["total_loss"])
     assert losses[jnp.bfloat16] == pytest.approx(losses[jnp.float32],
                                                  rel=0.05)
+
+
+def test_mid_step_resume(synthetic_project, tmp_path):
+    """Interrupted training resumes from the latest intermediate snapshot
+    with its optimizer state (capability the reference lacks, SURVEY §5)."""
+    import shutil
+
+    from deepgraphpose_tpu.core import checkpoint as ckpt_lib
+    from deepgraphpose_tpu.train.fit import fit_dgp, resolve_project
+
+    root, _, _ = synthetic_project
+    proj = tmp_path / "proj"
+    shutil.copytree(root, proj)
+    _, _, train_dir = resolve_project(proj, 1)
+    for extra in Path(train_dir).glob("snapshot-*"):
+        extra.unlink()
+
+    # simulate an interrupted run: saveiters small so iteration snapshots
+    # exist, then delete the finals to mimic a crash before completion
+    fit_dgp(dlcpath=proj, batch_size=2, maxiters=4, displayiters=1,
+            saveiters=2, nepoch=1, n_max_frames=10, aug=False)
+    finals = list(Path(train_dir).glob("snapshot-step2-final--0.ckpt"))
+    assert finals
+    for f in finals:
+        f.unlink()
+    # drop intermediates past iteration 2 to mimic a crash at it=3
+    for f in Path(train_dir).glob("snapshot-step2-*.ckpt"):
+        m = f.stem.rsplit("-", 1)[-1]
+        if m.isdigit() and int(m) > 2:
+            f.unlink()
+    inter = ckpt_lib.latest_intermediate_snapshot(train_dir, 2)
+    assert inter is not None
+    _, last_it = inter
+    assert last_it == 2
+
+    out = fit_dgp(dlcpath=proj, batch_size=2, maxiters=4, displayiters=1,
+                  saveiters=2, nepoch=1, n_max_frames=10, aug=False)
+    assert out is not None and out.exists()
+    # the resumed run started after the snapshot iteration: steps.jsonl's
+    # last entries begin at last_it + 1 (displayiters=1 writes each iter)
+    import json
+
+    lines = [json.loads(l) for l in
+             (Path(train_dir) / "steps.jsonl").read_text().splitlines()]
+    resumed_iters = [l["iteration"] for l in lines]
+    assert any(i > last_it for i in resumed_iters)
