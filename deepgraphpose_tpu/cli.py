@@ -265,6 +265,57 @@ def plot_trajectories(config, videos, filtered):
 
 
 @main.command(context_settings=CTX)
+@click.argument("config", type=click.Path(exists=True))
+@click.option("--shuffle", default=1)
+@click.option("--indices", default=None,
+              help="comma-separated labeled-frame indices (default: all)")
+def extract_maps(config, shuffle, indices):
+    """Save scoremap grids for labeled frames (network introspection)."""
+    from deepgraphpose_tpu.evaluation.maps import extract_save_all_maps
+
+    idx = [int(i) for i in indices.split(",")] if indices else None
+    extract_save_all_maps(config, shuffle=shuffle, indices=idx)
+
+
+@main.command(context_settings=CTX)
+@click.argument("project")
+@click.argument("experimenter")
+@click.option("-d", "--wd", "working_directory", default=None)
+@click.option("--num-cameras", default=2)
+def create_project_3d(project, experimenter, working_directory, num_cameras):
+    """Create a 3-D (stereo) project skeleton."""
+    from deepgraphpose_tpu.threed import create_new_project_3d
+
+    click.echo(create_new_project_3d(project, experimenter,
+                                     working_directory,
+                                     num_cameras=num_cameras))
+
+
+@main.command(context_settings=CTX)
+@click.argument("config3d", type=click.Path(exists=True))
+@click.option("--cbrow", default=8)
+@click.option("--cbcol", default=6)
+@click.option("--square-size", default=1.0)
+def calibrate_cameras(config3d, cbrow, cbcol, square_size):
+    """Stereo calibration from calibration_images/<camera>-*.jpg pairs."""
+    from deepgraphpose_tpu.threed import calibrate_cameras as _calib
+
+    _calib(config3d, cbrow=cbrow, cbcol=cbcol, square_size=square_size)
+
+
+@main.command(context_settings=CTX)
+@click.argument("config3d", type=click.Path(exists=True))
+@click.argument("h5_cam1", type=click.Path(exists=True))
+@click.argument("h5_cam2", type=click.Path(exists=True))
+@click.option("--destfolder", default=None)
+def triangulate(config3d, h5_cam1, h5_cam2, destfolder):
+    """Triangulate two cameras' trajectory tables into 3-D."""
+    from deepgraphpose_tpu.threed import triangulate as _tri
+
+    _tri(config3d, h5_cam1, h5_cam2, destfolder=destfolder)
+
+
+@main.command(context_settings=CTX)
 @click.option("--dlcpath", required=True, type=click.Path(exists=True))
 @click.option("--dlcsnapshot", default=None)
 @click.option("--shuffle", default=1)

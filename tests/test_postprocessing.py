@@ -152,7 +152,9 @@ def test_cli_help_all_commands():
                 "train", "evaluate", "analyze-videos", "filter-predictions",
                 "extract-outlier-frames", "create-labeled-video",
                 "plot-trajectories", "run-demo", "check-labels",
-                "add-videos", "analyze-skeleton", "analyze-time-lapse-frames"):
+                "add-videos", "analyze-skeleton", "analyze-time-lapse-frames",
+                "extract-maps", "create-project-3d", "calibrate-cameras",
+                "triangulate"):
         assert cmd in result.output
         sub = runner.invoke(main, [cmd, "--help"])
         assert sub.exit_code == 0, f"{cmd} --help failed: {sub.output}"
