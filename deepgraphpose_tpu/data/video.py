@@ -87,6 +87,20 @@ class VideoReader:
         self._cap.release()
 
 
+def iter_frame_batches(reader: VideoReader, batch_size: int,
+                       n_frames: int | None = None):
+    """Yield (start_index, (b<=batch_size, H, W, 3) uint8) chunks
+    sequentially — the shared buffered-read loop for batched inference."""
+    n = min(reader.n_frames, n_frames) if n_frames else reader.n_frames
+    buf, start = [], 0
+    for i, frame in reader.iter_frames(0, n):
+        buf.append(frame)
+        if len(buf) == batch_size or i == n - 1:
+            yield start, np.stack(buf)
+            start += len(buf)
+            buf = []
+
+
 class FrameCache:
     """Decode-once JPEG cache for a fixed frame subset."""
 

@@ -118,6 +118,9 @@ def analyze_videos(config: str | Path, videos: list, shuffle: int = 1,
 
         t0 = time.time()
         if num_outputs > 1:
+            if crop is not None:
+                print("warning: cropping is not applied in the "
+                      "num_outputs > 1 path")
             n = _analyze_multi(config, snap_path, video, dest, shuffle,
                                pose_cfg, scorer, names, num_outputs,
                                batchsize, max_frames, save_as_csv)
@@ -166,8 +169,7 @@ def _analyze_multi(config, snap_path, video, dest, shuffle, pose_cfg,
     import jax
     import jax.numpy as jnp
 
-    from deepgraphpose_tpu.core import checkpoint as _ckpt
-    from deepgraphpose_tpu.data.video import VideoReader
+    from deepgraphpose_tpu.data.video import VideoReader, iter_frame_batches
     from deepgraphpose_tpu.infer.export import export_multi_pose_like_dlc
     from deepgraphpose_tpu.infer.predict import make_multi_infer_fn
     from deepgraphpose_tpu.models.pose_model import init_model
@@ -180,22 +182,17 @@ def _analyze_multi(config, snap_path, video, dest, shuffle, pose_cfg,
              else jnp.float32)
     model, variables = init_model(pose_cfg, jax.random.PRNGKey(0),
                                   (reader.height, reader.width), dtype=dtype)
-    variables, _ = _ckpt.load_snapshot(snap_path, variables)
+    variables, _ = ckpt_lib.load_snapshot(snap_path, variables)
     infer = make_multi_infer_fn(model, pose_cfg, num_outputs)
 
     nj = pose_cfg.num_joints
     pose_all = np.zeros((n, nj, num_outputs, 3))
-    buf, start = [], 0
-    for i, frame in reader.iter_frames(0, n):
-        buf.append(frame)
-        if len(buf) == bs or i == n - 1:
-            pad = bs - len(buf)
-            arr = np.stack(buf + [buf[-1]] * pad)
-            pose = np.asarray(infer(variables, jnp.asarray(arr)))
-            end = start + len(buf)
-            pose_all[start:end] = pose[:len(buf)]
-            start = end
-            buf = []
+    for start, block in iter_frame_batches(reader, bs, n):
+        pad = bs - block.shape[0]
+        arr = np.concatenate([block, block[-1:].repeat(pad, 0)]) if pad \
+            else block
+        pose = np.asarray(infer(variables, jnp.asarray(arr)))
+        pose_all[start:start + block.shape[0]] = pose[:block.shape[0]]
     reader.close()
     export_multi_pose_like_dlc(pose_all, scorer, names,
                                str(dest / f"{video.stem}{scorer}"))

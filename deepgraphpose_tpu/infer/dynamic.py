@@ -198,21 +198,17 @@ def estimate_pose_dynamic_video(proj_cfg_file, dgp_model_file, video_file,
                              crop_hw=crop_hw,
                              detection_threshold=detection_threshold,
                              margin=margin)
+    from deepgraphpose_tpu.data.video import iter_frame_batches
+
     nj = cfg.num_joints
     out = {"mu": np.zeros((n, nj, 2)), "likelihoods": np.zeros((n, nj)),
            "cropped": np.zeros(n, bool)}
-    buf, start = [], 0
-    for i, frame in reader.iter_frames(0, n):
-        buf.append(frame)
-        if len(buf) == batch_size or i == n - 1:
-            mu, lik, was_cropped = tracker.process_chunk(variables,
-                                                         np.stack(buf))
-            end = start + len(buf)
-            out["mu"][start:end] = mu
-            out["likelihoods"][start:end] = lik
-            out["cropped"][start:end] = was_cropped
-            start = end
-            buf = []
+    for start, block in iter_frame_batches(reader, batch_size, n):
+        mu, lik, was_cropped = tracker.process_chunk(variables, block)
+        end = start + block.shape[0]
+        out["mu"][start:end] = mu
+        out["likelihoods"][start:end] = lik
+        out["cropped"][start:end] = was_cropped
     reader.close()
     s = cfg.stride
     labels = {"x": out["mu"][:, :, 1] * s + s / 2,

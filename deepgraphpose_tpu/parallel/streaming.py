@@ -124,26 +124,24 @@ def estimate_pose_multichip(proj_cfg_file, dgp_model_file, video_file,
     lik_all = np.zeros((n_total, nj))
     disp_all = np.zeros((n_total, nj))
 
-    buf, start = [], 0
-    for i, frame in reader.iter_frames(0, n_total):
-        buf.append(frame)
-        if len(buf) == super_batch or i == n_total - 1:
-            n_valid = len(buf)
-            pad = super_batch - n_valid
-            arr = np.stack(buf + [buf[-1]] * pad)
-            mu, lik, disp = infer(variables, jnp.asarray(arr))
-            if smoother is not None:
-                mu = smoother(mu, lik)
-            end = start + n_valid
-            mu_all[start:end] = np.asarray(mu)[:n_valid]
-            lik_all[start:end] = np.asarray(lik)[:n_valid]
-            disp_all[start:end] = np.asarray(disp)[:n_valid]
-            if start > 0:
-                # the halo is per super-batch; stitch the boundary pair here
-                disp_all[start] = np.linalg.norm(
-                    mu_all[start] - mu_all[start - 1], axis=-1)
-            start = end
-            buf = []
+    from deepgraphpose_tpu.data.video import iter_frame_batches
+
+    for start, block in iter_frame_batches(reader, super_batch, n_total):
+        n_valid = block.shape[0]
+        pad = super_batch - n_valid
+        arr = (np.concatenate([block, block[-1:].repeat(pad, 0)])
+               if pad else block)
+        mu, lik, disp = infer(variables, jnp.asarray(arr))
+        if smoother is not None:
+            mu = smoother(mu, lik)
+        end = start + n_valid
+        mu_all[start:end] = np.asarray(mu)[:n_valid]
+        lik_all[start:end] = np.asarray(lik)[:n_valid]
+        disp_all[start:end] = np.asarray(disp)[:n_valid]
+        if start > 0:
+            # the halo is per super-batch; stitch the boundary pair here
+            disp_all[start] = np.linalg.norm(
+                mu_all[start] - mu_all[start - 1], axis=-1)
     reader.close()
 
     s = cfg.stride
