@@ -115,9 +115,16 @@ def latest_snapshot(train_dir: str | Path, step: int | None = None,
         pats = sorted(train_dir.glob(f"snapshot-step{step}{debug}-*{CKPT_SUFFIX}"),
                       key=_snapshot_iter)
     else:
+        # across steps: prefer the highest pipeline step, then the highest
+        # iteration (finals sort last within a step)
         pats = sorted(train_dir.glob(f"snapshot-*{CKPT_SUFFIX}"),
-                      key=_snapshot_iter)
+                      key=lambda p: (_step_num(p), _snapshot_iter(p)))
     return pats[-1] if pats else None
+
+
+def _step_num(p: Path) -> int:
+    m = re.search(r"snapshot-step(\d+)", p.name)
+    return int(m.group(1)) if m else -1
 
 
 def _snapshot_iter(p: Path) -> int:

@@ -280,3 +280,16 @@ def test_mid_step_resume(synthetic_project, tmp_path):
              (Path(train_dir) / "steps.jsonl").read_text().splitlines()]
     resumed_iters = [l["iteration"] for l in lines]
     assert any(i > last_it for i in resumed_iters)
+
+
+def test_latest_snapshot_prefers_highest_step(tmp_path):
+    from deepgraphpose_tpu.core import checkpoint as ckpt_lib
+
+    variables = {"params": {"w": np.zeros(2, np.float32)}}
+    for step in (0, 1, 2):
+        ckpt_lib.save_snapshot(tmp_path, step, "final--0", variables)
+        ckpt_lib.save_snapshot(tmp_path, step, 5, variables)
+    latest = ckpt_lib.latest_snapshot(tmp_path)
+    assert latest.name == "snapshot-step2-final--0.ckpt"
+    latest1 = ckpt_lib.latest_snapshot(tmp_path, step=1)
+    assert latest1.name == "snapshot-step1-final--0.ckpt"
