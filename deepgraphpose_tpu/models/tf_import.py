@@ -215,6 +215,33 @@ def import_tf_checkpoint(variables: Mapping, ckpt_path: str,
                             scopes=scopes)
 
 
+def write_tf_checkpoint(variables: Mapping, ckpt_prefix: str,
+                        net_type: str = "resnet_50") -> str:
+    """Write a TF1-style checkpoint a DLC/DGP TF harness can restore.
+
+    Produces ``<ckpt_prefix>.{index,data-...}`` with slim variable names
+    (``resnet_v1_50/...``, ``pose/part_pred/block4/...``) so the original
+    TF1 evaluation stack can load weights trained here — the reverse
+    direction of :func:`import_tf_checkpoint`. Requires tensorflow.
+    """
+    try:
+        import tensorflow as tf
+    except Exception as e:  # pragma: no cover - env without TF
+        raise ImportError("writing TF checkpoints requires tensorflow") from e
+
+    arrays = export_tf_arrays(variables, net_type)
+    g = tf.Graph()
+    with g.as_default():
+        tf_vars = [tf.compat.v1.get_variable(name,
+                                             initializer=tf.constant(val))
+                   for name, val in arrays.items()]
+        saver = tf.compat.v1.train.Saver(var_list=tf_vars)
+        with tf.compat.v1.Session(graph=g) as sess:
+            sess.run(tf.compat.v1.global_variables_initializer())
+            out = saver.save(sess, str(ckpt_prefix))
+    return out
+
+
 def export_tf_arrays(variables: Mapping,
                      net_type: str = "resnet_50") -> dict[str, np.ndarray]:
     """Flax variables -> TF-named arrays (round-trip inverse of import).

@@ -151,3 +151,19 @@ def test_export_tf_arrays_roundtrip():
             node = node[k]
         np.testing.assert_allclose(np.asarray(leaf, np.float32), node,
                                    rtol=0, atol=0)
+
+
+def test_write_tf_checkpoint_roundtrip(tmp_path):
+    """Flax -> TF checkpoint on disk -> Flax again, bit-exact."""
+    _, variables = _small_model()
+    prefix = tf_import.write_tf_checkpoint(
+        variables, str(tmp_path / "snapshot-step2-final--0"), "resnet_50")
+    loaded = tf_import.load_tf_checkpoint_arrays(prefix)
+    back, report = tf_import.import_tf_arrays(variables, loaded,
+                                              net_type="resnet_50")
+    assert not report["missing"]
+    for path, leaf in tf_import._iter_paths(variables):
+        node = back
+        for k in path:
+            node = node[k]
+        np.testing.assert_array_equal(np.asarray(leaf, np.float32), node)
