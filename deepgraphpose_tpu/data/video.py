@@ -90,15 +90,23 @@ class VideoReader:
 def iter_frame_batches(reader: VideoReader, batch_size: int,
                        n_frames: int | None = None):
     """Yield (start_index, (b<=batch_size, H, W, 3) uint8) chunks
-    sequentially — the shared buffered-read loop for batched inference."""
+    sequentially — the shared buffered-read loop for batched inference.
+
+    Containers routinely over-report CAP_PROP_FRAME_COUNT; the trailing
+    partial buffer is flushed even when the decoder stops early, so every
+    decodable frame is delivered exactly once (callers must size outputs by
+    what was actually yielded, not by reader.n_frames).
+    """
     n = min(reader.n_frames, n_frames) if n_frames else reader.n_frames
     buf, start = [], 0
-    for i, frame in reader.iter_frames(0, n):
+    for _, frame in reader.iter_frames(0, n):
         buf.append(frame)
-        if len(buf) == batch_size or i == n - 1:
+        if len(buf) == batch_size:
             yield start, np.stack(buf)
             start += len(buf)
             buf = []
+    if buf:
+        yield start, np.stack(buf)
 
 
 class FrameCache:

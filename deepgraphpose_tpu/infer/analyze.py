@@ -187,13 +187,19 @@ def _analyze_multi(config, snap_path, video, dest, shuffle, pose_cfg,
 
     nj = pose_cfg.num_joints
     pose_all = np.zeros((n, nj, num_outputs, 3))
+    n_read = 0
     for start, block in iter_frame_batches(reader, bs, n):
         pad = bs - block.shape[0]
         arr = np.concatenate([block, block[-1:].repeat(pad, 0)]) if pad \
             else block
         pose = np.asarray(infer(variables, jnp.asarray(arr)))
         pose_all[start:start + block.shape[0]] = pose[:block.shape[0]]
+        n_read = start + block.shape[0]
     reader.close()
+    if n_read < n:
+        print(f"warning: decoder yielded {n_read}/{n} frames; truncating")
+        pose_all = pose_all[:n_read]
+        n = n_read
     export_multi_pose_like_dlc(pose_all, scorer, names,
                                str(dest / f"{video.stem}{scorer}"))
     if not save_as_csv:

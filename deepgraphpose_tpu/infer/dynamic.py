@@ -25,7 +25,6 @@ Speedup vs full-frame: FLOPs scale with crop area — a 384x448 window on the
 
 from __future__ import annotations
 
-import functools
 from pathlib import Path
 
 import numpy as np
@@ -80,13 +79,9 @@ def estimate_pose_dynamic(model, cfg, variables, frames: np.ndarray,
     'cropped': (T,) bool}. ``crop_hw`` defaults to roughly half the frame,
     rounded up to the model stride.
     """
-    import jax.numpy as jnp
-
-    from deepgraphpose_tpu.infer.predict import make_infer_fn
-
     tracker = DynamicTracker(model, cfg, frames.shape[1:3], crop_hw=crop_hw,
                              detection_threshold=detection_threshold,
-                             margin=margin)
+                             margin=margin, chunk=chunk)
     T = frames.shape[0]
     nj = cfg.num_joints
     out = {"mu": np.zeros((T, nj, 2)), "likelihoods": np.zeros((T, nj)),
@@ -113,7 +108,8 @@ class DynamicTracker:
 
     def __init__(self, model, cfg, frame_hw: tuple[int, int],
                  crop_hw: tuple[int, int] | None = None,
-                 detection_threshold: float = 0.5, margin: int = 64):
+                 detection_threshold: float = 0.5, margin: int = 64,
+                 chunk: int = 16):
         from deepgraphpose_tpu.infer.predict import make_infer_fn
 
         H, W = frame_hw
@@ -124,31 +120,45 @@ class DynamicTracker:
         self.crop_hw = (min(crop_hw[0], H), min(crop_hw[1], W))
         self.stride = s
         self.threshold = detection_threshold
+        self.chunk = chunk
         self.crop_fn = make_crop_infer_fn(model, cfg, self.crop_hw)
         self.full_fn = make_infer_fn(model, cfg)
         self.center = np.array([H / 2, W / 2])
         self.have_track = False
 
     def process_chunk(self, variables, block: np.ndarray):
-        """(mu (n,nj,2), likelihood (n,nj), cropped (n,) bool) for a chunk."""
+        """(mu (n,nj,2), likelihood (n,nj), cropped (n,) bool) for a chunk.
+
+        Every device call is padded to ``self.chunk`` frames so XLA compiles
+        exactly two programs (crop + full) regardless of partial tails or
+        the number of lost frames (repo convention: static shapes only).
+        """
         import jax.numpy as jnp
 
         n = block.shape[0]
+        pad = self.chunk - n
+        arr = (np.concatenate([block, block[-1:].repeat(pad, 0)])
+               if pad > 0 else block)
         if self.have_track:
-            mu, lik = self.crop_fn(variables, jnp.asarray(block),
+            mu, lik = self.crop_fn(variables, jnp.asarray(arr),
                                    jnp.asarray(self.center, np.float32))
             cropped = np.ones(n, bool)
         else:
-            mu, lik = self.full_fn(variables, jnp.asarray(block))
+            mu, lik = self.full_fn(variables, jnp.asarray(arr))
             cropped = np.zeros(n, bool)
-        mu, lik = np.asarray(mu), np.asarray(lik)
+        mu, lik = np.asarray(mu)[:n], np.asarray(lik)[:n]
 
         detected = (lik > self.threshold).any(axis=1)
         lost = np.flatnonzero(cropped & ~detected)
         if lost.size:
-            mu2, lik2 = self.full_fn(variables, jnp.asarray(block[lost]))
-            mu[lost] = np.asarray(mu2)
-            lik[lost] = np.asarray(lik2)
+            # pad the fallback batch to the same static chunk size
+            fb = block[lost]
+            fb_pad = self.chunk - fb.shape[0]
+            fb_arr = (np.concatenate([fb, fb[-1:].repeat(fb_pad, 0)])
+                      if fb_pad > 0 else fb)
+            mu2, lik2 = self.full_fn(variables, jnp.asarray(fb_arr))
+            mu[lost] = np.asarray(mu2)[:lost.size]
+            lik[lost] = np.asarray(lik2)[:lost.size]
             cropped[lost] = False
             detected = (lik > self.threshold).any(axis=1)
 
@@ -197,19 +207,24 @@ def estimate_pose_dynamic_video(proj_cfg_file, dgp_model_file, video_file,
     tracker = DynamicTracker(model, cfg, (reader.height, reader.width),
                              crop_hw=crop_hw,
                              detection_threshold=detection_threshold,
-                             margin=margin)
+                             margin=margin, chunk=batch_size)
     from deepgraphpose_tpu.data.video import iter_frame_batches
 
     nj = cfg.num_joints
     out = {"mu": np.zeros((n, nj, 2)), "likelihoods": np.zeros((n, nj)),
            "cropped": np.zeros(n, bool)}
+    n_read = 0
     for start, block in iter_frame_batches(reader, batch_size, n):
         mu, lik, was_cropped = tracker.process_chunk(variables, block)
         end = start + block.shape[0]
         out["mu"][start:end] = mu
         out["likelihoods"][start:end] = lik
         out["cropped"][start:end] = was_cropped
+        n_read = end
     reader.close()
+    if n_read < n:
+        print(f"warning: decoder yielded {n_read}/{n} frames; truncating")
+        out = {k: v[:n_read] for k, v in out.items()}
     s = cfg.stride
     labels = {"x": out["mu"][:, :, 1] * s + s / 2,
               "y": out["mu"][:, :, 0] * s + s / 2,

@@ -96,7 +96,7 @@ def export_multi_pose_like_dlc(pose: "np.ndarray", scorer: str,
     suffixes = [""] + [str(s + 1) for s in range(1, k)]
     labs = [f"{ax}{s}" for s in suffixes for ax in ("x", "y", "likelihood")]
     # (T, nj, k, 3) -> (T, nj * 3k) with peak-major inner order
-    flat = pose.transpose(0, 1, 2, 3).reshape(t, nj * 3 * k)
+    flat = pose.reshape(t, nj * 3 * k)
 
     with open(save_file + ".csv", "w", newline="") as f:
         f.write("scorer," + ",".join([scorer] * nj * 3 * k) + "\n")

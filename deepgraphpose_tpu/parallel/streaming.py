@@ -126,23 +126,41 @@ def estimate_pose_multichip(proj_cfg_file, dgp_model_file, video_file,
 
     from deepgraphpose_tpu.data.video import iter_frame_batches
 
+    carry, has_carry = None, None
+    prev_raw_last = None
+    n_read = 0
     for start, block in iter_frame_batches(reader, super_batch, n_total):
         n_valid = block.shape[0]
         pad = super_batch - n_valid
         arr = (np.concatenate([block, block[-1:].repeat(pad, 0)])
                if pad else block)
         mu, lik, disp = infer(variables, jnp.asarray(arr))
+        mu_raw = np.asarray(mu)[:n_valid]
         if smoother is not None:
-            mu = smoother(mu, lik)
+            # thread the EWMA carry across super-batches (exact streaming)
+            mu_s = smoother(mu, lik, carry, has_carry)
+            carry = mu_s[n_valid - 1]
+            has_carry = jnp.ones((1,))
+            mu_out = np.asarray(mu_s)[:n_valid]
+        else:
+            mu_out = mu_raw
         end = start + n_valid
-        mu_all[start:end] = np.asarray(mu)[:n_valid]
+        mu_all[start:end] = mu_out
         lik_all[start:end] = np.asarray(lik)[:n_valid]
         disp_all[start:end] = np.asarray(disp)[:n_valid]
-        if start > 0:
-            # the halo is per super-batch; stitch the boundary pair here
-            disp_all[start] = np.linalg.norm(
-                mu_all[start] - mu_all[start - 1], axis=-1)
+        if prev_raw_last is not None:
+            # the on-device halo is per super-batch; stitch the boundary
+            # pair from RAW coords (same quantity as the in-batch entries)
+            disp_all[start] = np.linalg.norm(mu_raw[0] - prev_raw_last,
+                                             axis=-1)
+        prev_raw_last = mu_raw[-1]
+        n_read = end
     reader.close()
+    if n_read < n_total:
+        print(f"warning: decoder yielded {n_read}/{n_total} frames "
+              "(container metadata over-reported); truncating outputs")
+        mu_all, lik_all, disp_all = (mu_all[:n_read], lik_all[:n_read],
+                                     disp_all[:n_read])
 
     s = cfg.stride
     labels = {"x": mu_all[:, :, 1] * s + s / 2,
@@ -189,19 +207,27 @@ def make_time_sharded_smoother(mesh, alpha: float = 0.5,
     exit state becomes valid at hop k-1 and is latched by shard k at hop k.
     Finally s_t += cumprod(a)_t * carry_in re-creates the exact sequential
     result (linearity).
+
+    The returned fn takes (mu, lik, carry, has_carry): ``carry`` is the
+    smoothed state entering frame 0 (from a previous super-batch of a
+    streamed video) and ``has_carry`` a {0., 1.} scalar; with has_carry=0,
+    frame 0 seeds s_0 = x_0 (reference semantics). The exit carry for the
+    next super-batch is simply the last *valid* smoothed row (the scan is
+    causal).
     """
     n = mesh.shape[DATA_AXIS]
 
-    def local(mu, lik):
+    def local(mu, lik, carry, has_carry):
         ok = (lik >= pcutoff)[..., None]                     # (Tl, nj, 1)
         a = jnp.where(ok, alpha, 1.0)                        # decay per frame
         b = jnp.where(ok, 1.0 - alpha, 0.0)
         idx = jax.lax.axis_index(DATA_AXIS)
 
-        # shard 0 seeds s_0 = x_0 (ref semantics); other shards scan from a
-        # zero carry and get corrected below
+        # without an external carry, shard 0 seeds s_0 = x_0 (ref
+        # semantics); other shards scan from a zero carry and get corrected
+        # below
         t_iota = jax.lax.broadcasted_iota(jnp.int32, mu.shape, 0)
-        first_global = (idx == 0) & (t_iota == 0)
+        first_global = (idx == 0) & (t_iota == 0) & (has_carry[0] == 0)
         a0 = jnp.where(first_global, 0.0, a)
         b0 = jnp.where(first_global, 1.0, b)
 
@@ -214,9 +240,10 @@ def make_time_sharded_smoother(mesh, alpha: float = 0.5,
         _, local_sm = jax.lax.scan(scan_fn, zero, (a0, b0, mu))
         cum_a = jnp.cumprod(a0, axis=0)                      # (Tl, nj, 2)
 
-        # ring token pass: deliver the true incoming carry to every shard
+        # ring token pass: deliver the true incoming carry to every shard;
+        # shard 0's incoming carry is the external one (zero if none)
         perm = [(i, (i + 1) % n) for i in range(n)]
-        carry_in = zero                                      # shard 0: none
+        carry_in = carry * has_carry[0]
 
         def hop(k, carry_in):
             exit_state = cum_a[-1] * carry_in + local_sm[-1]
@@ -227,6 +254,15 @@ def make_time_sharded_smoother(mesh, alpha: float = 0.5,
         return local_sm + cum_a * carry_in[None]
 
     mapped = shard_map(local, mesh=mesh,
-                       in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                       in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
                        out_specs=P(DATA_AXIS), check_rep=False)
-    return jax.jit(mapped)
+    jitted = jax.jit(mapped)
+
+    def smooth(mu, lik, carry=None, has_carry=None):
+        if carry is None:
+            carry = jnp.zeros(mu.shape[1:])
+        if has_carry is None:
+            has_carry = jnp.zeros((1,))
+        return jitted(mu, lik, carry, has_carry)
+
+    return smooth

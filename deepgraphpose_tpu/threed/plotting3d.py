@@ -48,7 +48,6 @@ def create_labeled_video_3d(config3d: str | Path, xyz: np.ndarray,
     import matplotlib
 
     matplotlib.use("Agg")
-    import cv2
     import matplotlib.pyplot as plt
     import yaml
 
@@ -64,11 +63,13 @@ def create_labeled_video_3d(config3d: str | Path, xyz: np.ndarray,
     lo, hi = finite.min(axis=0), finite.max(axis=0)
     pad = 0.05 * (hi - lo + 1e-9)
 
+    from deepgraphpose_tpu.data.video import write_video
+
     cmap = plt.get_cmap("jet")
     nj = xyz.shape[1]
-    writer = None
     out_file = Path(out_file)
-    for t in range(start, end):
+
+    def render(t):
         fig = plt.figure(figsize=(6, 5))
         ax = fig.add_subplot(projection="3d")
         if trailpoints > 0:
@@ -93,13 +94,14 @@ def create_labeled_video_3d(config3d: str | Path, xyz: np.ndarray,
         ax.set_zlim(lo[2] - pad[2], hi[2] + pad[2])
         ax.view_init(*view)
         fig.canvas.draw()
-        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+        # copy: the canvas buffer is reused after plt.close
+        frame = np.array(fig.canvas.buffer_rgba())[..., :3]
         plt.close(fig)
-        if writer is None:
-            writer = cv2.VideoWriter(
-                str(out_file), cv2.VideoWriter_fourcc(*"mp4v"), fps,
-                (buf.shape[1], buf.shape[0]))
-        writer.write(buf[..., ::-1])
-    if writer is not None:
-        writer.release()
+        return frame
+
+    first = render(start)
+    write_video(out_file,
+                (first if t == start else render(t)
+                 for t in range(start, end)),
+                fps, (first.shape[1], first.shape[0]))
     return out_file

@@ -201,7 +201,7 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
             shuffle: int = 1, step: int = 0, saveiters: int = 1000,
             displayiters: int = 100, maxiters: int = 200000,
             trainingsetindex: int = 0, seed: int = 0,
-            compute_dtype=None) -> Path | None:
+            compute_dtype=None, resume: bool = True) -> Path | None:
     """Vanilla supervised training on labeled frames (ref: fitdgp.py:53-254)."""
     proj, cfg, train_dir = resolve_project(dlcpath, shuffle, trainingsetindex)
     if ckpt_lib.snapshot_exists(train_dir, step):
@@ -224,7 +224,8 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
     # mid-step resume from the latest intermediate snapshot (see
     # _fit_dgp_impl; the reference only supports skip-if-final)
     start_it = 0
-    inter = ckpt_lib.latest_intermediate_snapshot(train_dir, step)
+    inter = (ckpt_lib.latest_intermediate_snapshot(train_dir, step)
+             if resume else None)
     if inter is not None:
         snap_path, snap_it = inter
         variables, opt_state = ckpt_lib.load_snapshot(
@@ -254,10 +255,12 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
     for it, imgs, coords, present in pf:
         variables, opt_state, out = train_step(
             variables, opt_state, imgs, coords, present, it)
-        timer.tick()
         if displayiters and it % displayiters == 0:
+            # float() is a device sync: attribute the interval's wall time
+            # across its steps (per-iteration host timing would only see
+            # the async dispatch cost)
             loss = float(out["total_loss"])
-            timer.write(it, loss=loss)
+            timer.interval(it, displayiters, loss=loss)
             print(f"[fit_dlc] iter {it}/{maxiters} loss {loss:.4f} "
                   f"({time.time() - t0:.1f}s)", flush=True)
             stats.append([it, loss])
@@ -332,7 +335,7 @@ def fit_dgp_labeledonly(snapshot: str = "snapshot-step0-final--0",
                         ns: int = 10, n_max_frames: int = 2000,
                         nepoch: int = 100, aug: bool = True, seed: int = 0,
                         trainingsetindex: int = 0, compute_dtype=None,
-                        debug: str = "") -> Path | None:
+                        resume: bool = True, debug: str = "") -> Path | None:
     """Step 1: DGP objective, visible-frame losses only
     (ref: fitdgp.py:257-546 — one visible frame per iteration)."""
     return _fit_dgp_impl(
@@ -341,7 +344,7 @@ def fit_dgp_labeledonly(snapshot: str = "snapshot-step0-final--0",
         batch_size=1, ns=ns, n_max_frames=n_max_frames, gm2=0, gm3=0,
         nepoch=nepoch, wt=0.0, aug=aug, visible_only=True, seed=seed,
         trainingsetindex=trainingsetindex, compute_dtype=compute_dtype,
-        debug=debug)
+        resume=resume, debug=debug)
 
 
 def fit_dgp(snapshot: str = "snapshot-step1-final--0",
@@ -351,7 +354,7 @@ def fit_dgp(snapshot: str = "snapshot-step1-final--0",
             n_max_frames: int = 2000, gm2: int = 0, gm3: int = 0,
             nepoch: int = 100, wt: float = 0.0, aug: bool = True,
             seed: int = 0, trainingsetindex: int = 0, compute_dtype=None,
-            debug: str = "") -> Path | None:
+            resume: bool = True, debug: str = "") -> Path | None:
     """Step 2: full semi-supervised DGP (ref: fitdgp.py:549-845)."""
     return _fit_dgp_impl(
         snapshot=snapshot, dlcpath=dlcpath, shuffle=shuffle, step=step,
@@ -359,13 +362,13 @@ def fit_dgp(snapshot: str = "snapshot-step1-final--0",
         batch_size=batch_size, ns=ns, n_max_frames=n_max_frames, gm2=gm2,
         gm3=gm3, nepoch=nepoch, wt=wt, aug=aug, visible_only=False,
         seed=seed, trainingsetindex=trainingsetindex,
-        compute_dtype=compute_dtype, debug=debug)
+        compute_dtype=compute_dtype, resume=resume, debug=debug)
 
 
 def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
                   maxiters, batch_size, ns, n_max_frames, gm2, gm3, nepoch,
                   wt, aug, visible_only, seed, trainingsetindex,
-                  compute_dtype, debug) -> Path | None:
+                  compute_dtype, resume, debug) -> Path | None:
     proj, cfg, train_dir = resolve_project(dlcpath, shuffle, trainingsetindex)
     if ckpt_lib.snapshot_exists(train_dir, step, debug):
         print(f"snapshot-step{step}{debug}-final--0 exists; skipping")
@@ -400,7 +403,8 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
     # (variables AND optimizer state) — the reference can only skip-if-final
     # (SURVEY §5)
     start_it = 0
-    inter = ckpt_lib.latest_intermediate_snapshot(train_dir, step, debug)
+    inter = (ckpt_lib.latest_intermediate_snapshot(train_dir, step, debug)
+             if resume else None)
     if inter is not None:
         snap_path, snap_it = inter
         variables, opt_state = ckpt_lib.load_snapshot(
@@ -466,11 +470,11 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
     for it, images, batch in pf:
         variables, opt_state, out = train_step(variables, opt_state, images,
                                                batch)
-        timer.tick()
         if displayiters and it % displayiters == 0:
             key = "total_loss_visible" if visible_only else "total_loss"
+            # float() is a device sync: attribute the interval across steps
             loss = float(out[key])
-            timer.write(it, loss=loss)
+            timer.interval(it, displayiters, loss=loss)
             print(f"[{name}] iter {it}/{n_iters} loss {loss:.4f} "
                   f"({time.time() - t0:.1f}s)", flush=True)
             stats.append([it, loss])

@@ -92,6 +92,25 @@ class StepTimer:
         self.write(iteration, **metrics)
         return dt
 
+    def interval(self, iteration: int, n_steps: int, **metrics) -> float:
+        """Record a synced interval of ``n_steps`` steps as one measurement.
+
+        The right primitive for async-dispatch training loops (JAX): per-
+        iteration host timing only measures enqueue cost; the real device
+        time is observable at sync points (e.g. fetching the loss every
+        displayiters). Call this right after such a sync — it attributes
+        the elapsed wall time evenly across the interval's steps and writes
+        one record. Returns the per-step seconds.
+        """
+        now = time.perf_counter()
+        dt = (now - self._t_last) / max(n_steps, 1)
+        self._t_last = now
+        self._durations.append(dt)
+        if len(self._durations) > self.window:
+            self._durations.pop(0)
+        self.write(iteration, **metrics)
+        return dt
+
     @property
     def mean_step_seconds(self) -> float:
         return (sum(self._durations) / len(self._durations)

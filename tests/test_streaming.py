@@ -98,3 +98,26 @@ def test_estimate_pose_multichip(mesh8, synthetic_project, tmp_path):
     assert out["displacement"][0].max() == 0.0
     assert (tmp_path / "synthvid.csv").exists()
     assert (tmp_path / "synthvid.h5").exists()
+
+
+def test_smoother_carry_across_super_batches(mesh8, rng):
+    """Streaming a track through the smoother in two halves with carry
+    threading equals smoothing the whole track at once."""
+    import jax.numpy as jnp
+
+    T, nj = 64, 3
+    mu = rng.standard_normal((T, nj, 2)) * 10 + 40
+    lik = rng.uniform(0, 1, (T, nj))
+    lik[0] = 0.9
+
+    smooth = make_time_sharded_smoother(mesh8, alpha=0.6, pcutoff=0.4)
+    whole = np.asarray(smooth(jnp.asarray(mu), jnp.asarray(lik)))
+
+    first = smooth(jnp.asarray(mu[:32]), jnp.asarray(lik[:32]))
+    carry = first[31]
+    second = smooth(jnp.asarray(mu[32:]), jnp.asarray(lik[32:]),
+                    carry, jnp.ones((1,)))
+    streamed = np.concatenate([np.asarray(first), np.asarray(second)])
+    np.testing.assert_allclose(streamed, whole, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(whole, ewma_reference(mu, lik, 0.6, 0.4),
+                               rtol=1e-5, atol=1e-5)
