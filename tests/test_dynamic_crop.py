@@ -55,9 +55,10 @@ def test_dynamic_estimate_tracks_and_falls_back(setup, rng):
                                 detection_threshold=0.0)
     assert out["mu"].shape == (T, 2, 2)
     assert np.isfinite(out["mu"]).all()
-    # threshold 0: always detected -> chunks after the first are cropped
-    assert not out["cropped"][:4].any()
-    assert out["cropped"][4:].all()
+    # threshold 0: always detected. The pipelined driver dispatches chunk
+    # k before fetching chunk k-1, so the track engages from chunk 2 on.
+    assert not out["cropped"][:8].any()
+    assert out["cropped"][8:].all()
 
     # impossible threshold: nothing detected -> everything full-frame
     out2 = estimate_pose_dynamic(model, cfg, variables, frames,
@@ -70,3 +71,27 @@ def test_dynamic_estimate_tracks_and_falls_back(setup, rng):
     mu_ref, _ = full(variables, jnp.asarray(frames[:4]))
     np.testing.assert_allclose(out2["mu"][:4], np.asarray(mu_ref),
                                atol=1e-5)
+
+
+def test_feed_flush_matches_process_chunk_outputs(setup, rng):
+    """The pipelined driver returns every chunk exactly once and the
+    full-frame chunks decode identically to the synchronous path."""
+    cfg, model, variables = setup
+    from deepgraphpose_tpu.infer.dynamic import DynamicTracker
+
+    frames = rng.integers(0, 255, (8, 96, 96, 3), dtype=np.uint8)
+    # impossible threshold: both paths stay full-frame -> exactly comparable
+    tr_sync = DynamicTracker(model, cfg, (96, 96), crop_hw=(64, 64),
+                             detection_threshold=2.0, chunk=4)
+    tr_pipe = DynamicTracker(model, cfg, (96, 96), crop_hw=(64, 64),
+                             detection_threshold=2.0, chunk=4)
+    sync = [tr_sync.process_chunk(variables, frames[i:i + 4])
+            for i in (0, 4)]
+    piped = [tr_pipe.feed(variables, frames[i:i + 4]) for i in (0, 4)]
+    piped = [r for r in piped if r is not None] + [tr_pipe.flush(variables)]
+    assert len(piped) == 2
+    for (m1, l1, c1), (m2, l2, c2) in zip(sync, piped):
+        np.testing.assert_allclose(m1, m2, atol=1e-6)
+        np.testing.assert_allclose(l1, l2, atol=1e-6)
+        np.testing.assert_array_equal(c1, c2)
+    assert tr_pipe.flush(variables) is None
