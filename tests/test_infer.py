@@ -111,3 +111,21 @@ def test_annotated_movie(synthetic_project, tmp_path, rng):
     f0 = r.read_frame(0)
     assert f0.shape == (64, 80, 3)
     r.close()
+
+
+def test_comparison_movie(synthetic_project, tmp_path, rng):
+    from deepgraphpose_tpu.data.video import VideoReader
+    from deepgraphpose_tpu.infer.video_writer import create_comparison_movie
+
+    root, _, _ = synthetic_project
+    video = Path(root) / "videos" / "synthvid.avi"
+    T, nj = 10, 3
+    mk = lambda off: {"x": rng.uniform(5, 70, (T, nj)) + off,
+                      "y": rng.uniform(5, 55, (T, nj)),
+                      "likelihoods": np.full((T, nj), 0.9)}
+    out = create_comparison_movie(video, tmp_path / "cmp.mp4",
+                                  mk(0), mk(3), max_frames=T)
+    r = VideoReader(out)
+    assert r.n_frames == T
+    assert r.width == 2 * 80 and r.height == 64  # side-by-side
+    r.close()
