@@ -14,3 +14,63 @@ training-datasets/, videos_dgp/) is read and written natively.
 __version__ = "0.1.0"
 
 from deepgraphpose_tpu.core.config import PoseConfig, ProjectConfig  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level API (mirrors the reference's `import deepgraphpose` /
+    `import deeplabcut` surfaces without importing jax/cv2 at package
+    import time)."""
+    _lazy = {
+        # training pipeline (ref: deepgraphpose.models.fitdgp)
+        "fit_dlc": ("deepgraphpose_tpu.train.fit", "fit_dlc"),
+        "fit_dgp_labeledonly": ("deepgraphpose_tpu.train.fit",
+                                "fit_dgp_labeledonly"),
+        "fit_dgp": ("deepgraphpose_tpu.train.fit", "fit_dgp"),
+        # inference / evaluation (ref: deepgraphpose.models.eval)
+        "estimate_pose": ("deepgraphpose_tpu.infer.predict",
+                          "estimate_pose"),
+        "plot_dgp": ("deepgraphpose_tpu.infer.video_writer", "plot_dgp"),
+        "evaluate_dgp": ("deepgraphpose_tpu.evaluation.metrics",
+                         "evaluate_dgp"),
+        # DLC-style toolbox (ref: deeplabcut top-level API)
+        "create_new_project": ("deepgraphpose_tpu.project",
+                               "create_new_project"),
+        "add_new_videos": ("deepgraphpose_tpu.project", "add_new_videos"),
+        "extract_frames": ("deepgraphpose_tpu.project", "extract_frames"),
+        "create_training_dataset": ("deepgraphpose_tpu.project",
+                                    "create_training_dataset"),
+        "merge_datasets": ("deepgraphpose_tpu.project.refine",
+                           "merge_datasets"),
+        "mergeandsplit": ("deepgraphpose_tpu.project.refine",
+                          "mergeandsplit"),
+        "analyze_videos": ("deepgraphpose_tpu.infer.analyze",
+                           "analyze_videos"),
+        "analyze_time_lapse_frames": ("deepgraphpose_tpu.infer.analyze",
+                                      "analyze_time_lapse_frames"),
+        "evaluate_network": ("deepgraphpose_tpu.evaluation.metrics",
+                             "evaluate_network"),
+        "filterpredictions": ("deepgraphpose_tpu.evaluation.filtering",
+                              "filterpredictions"),
+        "extract_outlier_frames": ("deepgraphpose_tpu.evaluation.outliers",
+                                   "extract_outlier_frames"),
+        "analyzeskeleton": ("deepgraphpose_tpu.evaluation.skeleton",
+                            "analyzeskeleton"),
+        "plot_trajectories": ("deepgraphpose_tpu.infer.plotting",
+                              "plot_trajectories"),
+        "check_labels": ("deepgraphpose_tpu.infer.plotting", "check_labels"),
+        "extract_save_all_maps": ("deepgraphpose_tpu.evaluation.maps",
+                                  "extract_save_all_maps"),
+        # 3-D (ref: deeplabcut pose_estimation_3d)
+        "create_new_project_3d": ("deepgraphpose_tpu.threed",
+                                  "create_new_project_3d"),
+        "calibrate_cameras": ("deepgraphpose_tpu.threed",
+                              "calibrate_cameras"),
+        "triangulate": ("deepgraphpose_tpu.threed", "triangulate"),
+    }
+    if name in _lazy:
+        import importlib
+
+        module, attr = _lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'deepgraphpose_tpu' has no attribute "
+                         f"{name!r}")
