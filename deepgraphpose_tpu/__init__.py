@@ -16,11 +16,10 @@ __version__ = "0.1.0"
 from deepgraphpose_tpu.core.config import PoseConfig, ProjectConfig  # noqa: F401
 
 
-def __getattr__(name):
-    """Lazy top-level API (mirrors the reference's `import deepgraphpose` /
-    `import deeplabcut` surfaces without importing jax/cv2 at package
-    import time)."""
-    _lazy = {
+# Lazy top-level API (mirrors the reference's `import deepgraphpose` /
+# `import deeplabcut` surfaces without importing jax/cv2 at package import
+# time). Resolved names are cached in module globals.
+_LAZY_API = {
         # training pipeline (ref: deepgraphpose.models.fitdgp)
         "fit_dlc": ("deepgraphpose_tpu.train.fit", "fit_dlc"),
         "fit_dgp_labeledonly": ("deepgraphpose_tpu.train.fit",
@@ -60,17 +59,38 @@ def __getattr__(name):
         "check_labels": ("deepgraphpose_tpu.infer.plotting", "check_labels"),
         "extract_save_all_maps": ("deepgraphpose_tpu.evaluation.maps",
                                   "extract_save_all_maps"),
+        # label-file hygiene (ref: trainingsetmanipulation.py:36-219)
+        "compare_video_lists_and_data_folders": (
+            "deepgraphpose_tpu.project",
+            "compare_video_lists_and_data_folders"),
+        "drop_duplicates_in_annotation_files": (
+            "deepgraphpose_tpu.project",
+            "drop_duplicates_in_annotation_files"),
+        "drop_annotations_for_deleted_images": (
+            "deepgraphpose_tpu.project",
+            "drop_annotations_for_deleted_images"),
+        "drop_unannotated_images": ("deepgraphpose_tpu.project",
+                                    "drop_unannotated_images"),
         # 3-D (ref: deeplabcut pose_estimation_3d)
         "create_new_project_3d": ("deepgraphpose_tpu.threed",
                                   "create_new_project_3d"),
         "calibrate_cameras": ("deepgraphpose_tpu.threed",
                               "calibrate_cameras"),
         "triangulate": ("deepgraphpose_tpu.threed", "triangulate"),
-    }
-    if name in _lazy:
+}
+
+
+def __getattr__(name):
+    if name in _LAZY_API:
         import importlib
 
-        module, attr = _lazy[name]
-        return getattr(importlib.import_module(module), attr)
+        module, attr = _LAZY_API[name]
+        value = getattr(importlib.import_module(module), attr)
+        globals()[name] = value  # cache: next access skips __getattr__
+        return value
     raise AttributeError(f"module 'deepgraphpose_tpu' has no attribute "
                          f"{name!r}")
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY_API))

@@ -95,16 +95,16 @@ def estimate_pose_dynamic(model, cfg, variables, frames: np.ndarray,
         out["cropped"][start:end] = was_cropped
 
     # pipelined: feed(chunk k) returns chunk k-1's results while k computes
-    starts = list(range(0, T, chunk))
-    fed: list[int] = []
-    for start in starts:
+    # (the tracker holds exactly one pending chunk)
+    prev_start = None
+    for start in range(0, T, chunk):
         res = tracker.feed(variables, frames[start:start + chunk])
-        fed.append(start)
         if res is not None:
-            store(fed.pop(0), res)
+            store(prev_start, res)
+        prev_start = start
     last = tracker.flush(variables)
     if last is not None:
-        store(fed.pop(0), last)
+        store(prev_start, last)
     return out
 
 
@@ -177,8 +177,10 @@ class DynamicTracker:
         import jax.numpy as jnp
 
         mu_dev, lik_dev, n, was_cropped, block = pending
-        mu = np.asarray(mu_dev)[:n]
-        lik = np.asarray(lik_dev)[:n]
+        # np.array (copy): np.asarray of a jax array returns a read-only
+        # view, and the lost-frame fallback writes into these
+        mu = np.array(mu_dev)[:n]
+        lik = np.array(lik_dev)[:n]
         cropped = np.full(n, was_cropped)
 
         detected = (lik > self.threshold).any(axis=1)
@@ -207,6 +209,9 @@ class DynamicTracker:
 
     def process_chunk(self, variables, block: np.ndarray):
         """Synchronous: (mu (n,nj,2), likelihood (n,nj), cropped (n,))."""
+        assert self._pending is None, (
+            "process_chunk called with a fed chunk pending; don't mix the "
+            "synchronous and feed/flush drivers (flush() first)")
         return self._finalize(variables, self._dispatch(variables, block))
 
     def feed(self, variables, block: np.ndarray):
@@ -278,16 +283,17 @@ def estimate_pose_dynamic_video(proj_cfg_file, dgp_model_file, video_file,
         n_read = max(n_read, end)
 
     # pipelined: dispatch chunk k while fetching chunk k-1 (see
-    # DynamicTracker.feed) so decode overlaps the tracking sync
-    fed: list[int] = []
+    # DynamicTracker.feed) so decode overlaps the tracking sync; the
+    # tracker holds exactly one pending chunk
+    prev_start = None
     for start, block in iter_frame_batches(reader, batch_size, n):
         res = tracker.feed(variables, block)
-        fed.append(start)
         if res is not None:
-            store(fed.pop(0), res)
+            store(prev_start, res)
+        prev_start = start
     last = tracker.flush(variables)
     if last is not None:
-        store(fed.pop(0), last)
+        store(prev_start, last)
     reader.close()
     if n_read < n:
         print(f"warning: decoder yielded {n_read}/{n} frames; truncating")

@@ -73,7 +73,9 @@ def create_comparison_movie(video_file: str | Path, out_file: str | Path,
     def draw(frame, labels, i):
         f = frame.copy()
         for j in range(nj):
-            if labels["likelihoods"][i, j] > mask_threshold:
+            if (labels["likelihoods"][i, j] > mask_threshold
+                    and np.isfinite(labels["x"][i, j])
+                    and np.isfinite(labels["y"][i, j])):
                 cv2.circle(f, (int(round(labels["x"][i, j])),
                                int(round(labels["y"][i, j]))),
                            dotsize, colors[j], -1)

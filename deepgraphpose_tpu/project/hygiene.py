@@ -47,6 +47,32 @@ def _each_labels(root: Path, scorer: str):
             continue
 
 
+def _rewrite_kept_rows(vdir: Path, scorer: str, labels, keep: list,
+                       why: str) -> int:
+    """Rewrite CollectedData with only ``keep`` rows; returns rows removed.
+
+    The reference rewrites both the .csv and .h5 (trainingsetmanipulation
+    keeps them in sync); here the CSV is canonical, so a stale sibling .h5
+    is removed rather than left disagreeing with it.
+    """
+    dropped = len(labels.image_paths) - len(keep)
+    if dropped == 0:
+        return 0
+    project_io.write_collected_data_csv(
+        vdir / f"CollectedData_{scorer}.csv",
+        project_io.Labels(
+            scorer=scorer, bodyparts=list(labels.bodyparts),
+            image_paths=[labels.image_paths[i] for i in keep],
+            coords_xy=np.asarray(labels.coords_xy)[keep]))
+    stale_h5 = vdir / f"CollectedData_{scorer}.h5"
+    if stale_h5.exists():
+        stale_h5.unlink()
+        print(f"{vdir.name}: removed stale {stale_h5.name} "
+              "(CSV is now canonical)")
+    print(f"{vdir.name}: dropped {dropped} {why}")
+    return dropped
+
+
 def drop_duplicates_in_annotation_files(config: str | Path) -> int:
     """Remove duplicate image rows, keeping the first
     (ref: trainingsetmanipulation.py:124-152). Returns rows removed."""
@@ -55,22 +81,14 @@ def drop_duplicates_in_annotation_files(config: str | Path) -> int:
     root = Path(proj.project_path or config.parent)
     removed = 0
     for vdir, labels in _each_labels(root, proj.scorer):
-        seen: dict = {}
+        seen: set = set()
         keep = []
         for i, p in enumerate(labels.image_paths):
             if str(p) not in seen:
-                seen[str(p)] = i
+                seen.add(str(p))
                 keep.append(i)
-        if len(keep) != len(labels.image_paths):
-            removed += len(labels.image_paths) - len(keep)
-            project_io.write_collected_data_csv(
-                vdir / f"CollectedData_{proj.scorer}.csv",
-                project_io.Labels(
-                    scorer=proj.scorer, bodyparts=list(labels.bodyparts),
-                    image_paths=[labels.image_paths[i] for i in keep],
-                    coords_xy=np.asarray(labels.coords_xy)[keep]))
-            print(f"{vdir.name}: dropped "
-                  f"{len(labels.image_paths) - len(keep)} duplicate rows")
+        removed += _rewrite_kept_rows(vdir, proj.scorer, labels, keep,
+                                      "duplicate rows")
     return removed
 
 
@@ -84,17 +102,8 @@ def drop_annotations_for_deleted_images(config: str | Path) -> int:
     for vdir, labels in _each_labels(root, proj.scorer):
         keep = [i for i, p in enumerate(labels.image_paths)
                 if (root / p).exists()]
-        if len(keep) != len(labels.image_paths):
-            removed += len(labels.image_paths) - len(keep)
-            project_io.write_collected_data_csv(
-                vdir / f"CollectedData_{proj.scorer}.csv",
-                project_io.Labels(
-                    scorer=proj.scorer, bodyparts=list(labels.bodyparts),
-                    image_paths=[labels.image_paths[i] for i in keep],
-                    coords_xy=np.asarray(labels.coords_xy)[keep]))
-            print(f"{vdir.name}: dropped "
-                  f"{len(labels.image_paths) - len(keep)} rows with "
-                  "missing images")
+        removed += _rewrite_kept_rows(vdir, proj.scorer, labels, keep,
+                                      "rows with missing images")
     return removed
 
 

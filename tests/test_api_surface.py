@@ -15,8 +15,19 @@ def test_lazy_api_resolves():
                  "extract_outlier_frames", "analyzeskeleton",
                  "plot_trajectories", "check_labels",
                  "extract_save_all_maps", "create_new_project_3d",
+                 "compare_video_lists_and_data_folders",
+                 "drop_duplicates_in_annotation_files",
+                 "drop_annotations_for_deleted_images",
+                 "drop_unannotated_images",
                  "calibrate_cameras", "triangulate"):
         assert callable(getattr(dgp, name)), name
+
+
+def test_dir_lists_lazy_api():
+    assert "analyze_videos" in dir(dgp)
+    # resolution caches into module globals
+    _ = dgp.analyze_videos
+    assert "analyze_videos" in vars(dgp)
 
 
 def test_unknown_attribute_raises():

@@ -95,3 +95,23 @@ def test_feed_flush_matches_process_chunk_outputs(setup, rng):
         np.testing.assert_allclose(l1, l2, atol=1e-6)
         np.testing.assert_array_equal(c1, c2)
     assert tr_pipe.flush(variables) is None
+
+
+def test_lost_frame_fallback_writes(setup, rng):
+    """Regression: the lost-fallback writes into fetched arrays — must not
+    hit numpy's read-only view of jax outputs (threshold forces losses on
+    cropped chunks only, so chunk 3+ exercises the fallback)."""
+    cfg, model, variables = setup
+    from deepgraphpose_tpu.infer.dynamic import DynamicTracker
+
+    frames = rng.integers(0, 255, (12, 96, 96, 3), dtype=np.uint8)
+    tr = DynamicTracker(model, cfg, (96, 96), crop_hw=(64, 64),
+                        detection_threshold=0.0, chunk=4)
+    # engage the track with a synchronous chunk (threshold 0: detected)
+    tr.process_chunk(variables, frames[:4])
+    assert tr.have_track
+    # now force every cropped frame to be 'lost' so the fallback runs
+    tr.threshold = 2.0
+    mu, lik, cropped = tr.process_chunk(variables, frames[4:8])
+    assert not cropped.any()          # all fell back to full-frame
+    assert np.isfinite(mu).all()
