@@ -52,6 +52,9 @@ def main():
                      all_joints_names=[f"bp{i}" for i in range(5)])
     model, variables = init_model(cfg, jax.random.PRNGKey(0), (h, w),
                                   dtype=dtype)
+    if mode == "train":
+        return bench_train_step(cfg, model, variables, h, w, net_type,
+                                dtype_name)
     if mode == "dynamic":
         # tracked steady-state: the dynamic-cropping path (fixed-size crop
         # around the tracked animal, ref GetPoseDynamic) at roughly half
@@ -104,6 +107,64 @@ def main():
         "vs_baseline": round(fps / 2000.0, 3),
     }
     print(json.dumps(out))
+
+
+def bench_train_step(cfg, model, variables, h, w, net_type, dtype_name):
+    """BENCH_MODE=train: full DGP train-step throughput (fwd+bwd+optimizer)
+    on one reference-default window (batch_size 10 + anchor = 11 frames)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepgraphpose_tpu.ops.dgp_objective import DGPLossParams
+    from deepgraphpose_tpu.train import steps as steps_lib
+
+    t, nj = 11, cfg.num_joints
+    S0 = np.zeros((2, nj), np.float32)
+    S0[0, 0], S0[0, 1] = 1, -1
+    S0[1, 1], S0[1, 2] = 1, -1
+    lp = DGPLossParams(
+        nj=nj, stride=cfg.stride, gamma=1.0, gauss_len=1.0, lengthscale=1.0,
+        pos_dist_thresh=cfg.pos_dist_thresh, locref_stdev=cfg.locref_stdev,
+        locref_loss_weight=cfg.locref_loss_weight, locref_huber_loss=True,
+        wn_visible=5.0, wn_hidden=3.0, wt=0.0, wt_max=0.0, gm2=0, gm3=0,
+        n_visible_frames_total=44.0, n_hidden_frames_total=200.0, S0=S0,
+        ws=np.full(2, 0.5, np.float32), ws_max=np.full(2, 100.0, np.float32))
+    tx = steps_lib.make_optimizer(0.005, clip_norm=10.0)
+    opt_state = tx.init(variables["params"])
+    step = steps_lib.make_dgp_train_step(model, lp, tx)
+
+    rng = np.random.default_rng(0)
+    imgs = jax.device_put(jnp.asarray(rng.uniform(0, 255, (t, h, w, 3)),
+                                      jnp.float32))
+    vis = np.zeros(t * nj, np.float32)
+    vis[:2 * nj] = 1
+    batch = {k: jax.device_put(v) for k, v in dict(
+        targets=jnp.asarray(rng.uniform(0, min(h, w) // 10, (t, nj, 2)),
+                            jnp.float32),
+        visible_mask=jnp.asarray(vis), hidden_mask=jnp.asarray(1 - vis),
+        frame_mask=jnp.ones(t), wt_batch=jnp.zeros(t - 1),
+        pair_mask=jnp.ones(t - 1), flow=jnp.zeros((t - 1, 8, 8))).items()}
+
+    variables, opt_state, out = step(variables, opt_state, imgs, batch)
+    _ = float(out["total_loss"])  # warmup + sync
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    n_iter = 10
+    best = 0.0
+    for _ in range(max(reps, 1)):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            variables, opt_state, out = step(variables, opt_state, imgs,
+                                             batch)
+        loss = float(out["total_loss"])  # sync
+        dt = (time.perf_counter() - t0) / n_iter
+        best = max(best, 1.0 / dt)
+        assert np.isfinite(loss)
+    print(json.dumps({
+        "metric": f"dgp_train_step_{net_type}_{t}x{h}x{w}_{dtype_name}",
+        "value": round(best, 2), "unit": "iterations/sec/chip",
+        "vs_baseline": round(best * t / 113.0, 3),  # vs PERF.md measurement
+    }))
 
 
 if __name__ == "__main__":
