@@ -123,12 +123,21 @@ def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
                 lik[i] = xyl[:, 2]
             continue
         infer = make_infer_fn(model, cfg)
-        for i in idxs:
-            mu, l = infer(variables, jnp.asarray(images[i][None]))
-            mu = np.asarray(mu)[0]
-            pred_xy[i, :, 0] = mu[:, 1] * cfg.stride + cfg.stride / 2
-            pred_xy[i, :, 1] = mu[:, 0] * cfg.stride + cfg.stride / 2
-            lik[i] = np.asarray(l)[0]
+        # batch same-size images; pad the tail so one program serves all
+        bs = min(cfg.infer_batch_size, len(idxs))
+        for s in range(0, len(idxs), bs):
+            group = idxs[s:s + bs]
+            arr = np.stack([images[i] for i in group])
+            pad = bs - len(group)
+            if pad:
+                arr = np.concatenate([arr, arr[-1:].repeat(pad, 0)])
+            mu, l = infer(variables, jnp.asarray(arr))
+            mu = np.asarray(mu)[:len(group)]
+            l = np.asarray(l)[:len(group)]
+            for k, i in enumerate(group):
+                pred_xy[i, :, 0] = mu[k, :, 1] * cfg.stride + cfg.stride / 2
+                pred_xy[i, :, 1] = mu[k, :, 0] * cfg.stride + cfg.stride / 2
+                lik[i] = l[k]
 
     rmse_all, rmse_cut = pairwise_distances(pred_xy, coords, lik, pcutoff)
     out = {
