@@ -68,12 +68,32 @@ class PoseModel(nn.Module):
 
 def scoremap_size(cfg: PoseConfig, in_hw: tuple[int, int]) -> tuple[int, int]:
     """Predicted scoremap dims for an input size (ref: dataset.py:348-371
-    discovers this by a throwaway forward pass; here it is a formula)."""
+    discovers this by a throwaway forward pass; here it is a formula).
+
+    ResNets follow the slim spatial recurrence exactly: conv2d_same root
+    (out = ceil(h/2)), VALID 3x3/2 max-pool (out = (h-3)//2 + 1), then one
+    ceil-halving per strided block until output_stride. MobileNetV2 is
+    SAME-padded throughout, so it reduces to ceil(h/output_stride).
+    Dims verified against a raw-TF-ops slim reconstruction
+    (tests/test_tf_parity.py) for sizes where the two formulas disagree.
+    """
     import math
 
     s = cfg.output_stride
     d = cfg.deconvolutionstride
-    return (math.ceil(in_hw[0] / s) * d, math.ceil(in_hw[1] / s) * d)
+    if cfg.net_type.startswith("mobilenet"):
+        return (math.ceil(in_hw[0] / s) * d, math.ceil(in_hw[1] / s) * d)
+
+    def one_side(h: int) -> int:
+        h = (h + 1) // 2            # root 7x7/2, explicit pad (3,3)
+        h = (h - 3) // 2 + 1        # pool1 3x3/2 VALID
+        stride = 4
+        while stride < s:           # strided last units (conv2d_same 3x3/2)
+            h = (h + 1) // 2
+            stride *= 2
+        return h * d
+
+    return (one_side(in_hw[0]), one_side(in_hw[1]))
 
 
 def init_model(cfg: PoseConfig, rng: jax.Array, in_hw: tuple[int, int] = (64, 64),

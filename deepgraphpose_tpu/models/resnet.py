@@ -11,7 +11,12 @@ dilated (atrous) convolutions.
 TPU-first notes:
 * Frozen BN folds into a scale/offset pair at apply time — XLA fuses it into
   the preceding convolution, so there is no BN cost at all on the MXU.
-* All convs use TF-style 'SAME' padding (flax default matches TF).
+* Padding follows slim exactly (bit-parity with TF1 DGP snapshots): stride-1
+  convs use TF-style 'SAME'; *strided* convs use slim's ``conv2d_same``
+  (explicit symmetric pad of kernel-1, then VALID), and the root max-pool is
+  VALID — these differ from plain 'SAME' both in edge values and, for some
+  input sizes, in output dims. Verified against a raw-TF-ops reconstruction
+  of the slim graph in tests/test_tf_parity.py.
 * ``compute_dtype`` lets the whole trunk run in bfloat16 on the MXU while
   parameters stay float32.
 """
@@ -28,6 +33,19 @@ BLOCK_UNITS = {
     "resnet_101": (3, 4, 23, 3),
     "resnet_152": (3, 8, 36, 3),
 }
+
+
+def same_pad_for_stride(kernel: int, rate: int = 1) -> tuple[int, int]:
+    """slim ``conv2d_same`` explicit padding for strided convs.
+
+    slim pads (effective_kernel - 1) symmetrically and convolves VALID,
+    which differs from TF 'SAME' for stride > 1 (SAME biases padding to the
+    bottom/right). ref: tf.contrib.slim resnet_utils.conv2d_same, used by
+    resnet_v1 for the root 7x7 and every strided 3x3.
+    """
+    keff = kernel + (kernel - 1) * (rate - 1)
+    total = keff - 1
+    return (total // 2, total - total // 2)
 
 
 class FrozenBatchNorm(nn.Module):
@@ -68,9 +86,16 @@ class BottleneckV1(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_depth = x.shape[-1]
-        conv = lambda f, k, s, d, name: nn.Conv(
-            f, (k, k), strides=(s, s), kernel_dilation=(d, d), padding="SAME",
-            use_bias=False, dtype=self.dtype, name=name)
+
+        def conv(f, k, s, d, name):
+            # slim: stride-1 convs are 'SAME'; strided convs are conv2d_same
+            # (explicit symmetric pad + VALID) — edge values differ.
+            pad = ("SAME" if s == 1
+                   else (same_pad_for_stride(k, d),) * 2)
+            return nn.Conv(f, (k, k), strides=(s, s), kernel_dilation=(d, d),
+                           padding=pad, use_bias=False, dtype=self.dtype,
+                           name=name)
+
         bn = lambda name: FrozenBatchNorm(dtype=self.dtype, name=name)
 
         if in_depth != self.depth:
@@ -101,10 +126,13 @@ class ResNetV1(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
+        # slim root: conv2d_same(64, 7, stride=2) -> pad (3,3) + VALID,
+        # then a VALID 3x3/2 max-pool (slim.max_pool2d default padding).
+        x = nn.Conv(64, (7, 7), strides=(2, 2),
+                    padding=(same_pad_for_stride(7),) * 2, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         x = nn.relu(FrozenBatchNorm(dtype=self.dtype, name="bn1")(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
         current_stride = 4
         rate = 1
 
