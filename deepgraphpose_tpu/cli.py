@@ -130,7 +130,10 @@ def train(config, shuffle, step, batch_size, maxiters, displayiters,
 @click.option("--snapshot", default=None,
               help="snapshot name (defaults to latest step-2 final)")
 @click.option("--out", default=None, help="write per-frame RMSE CSV here")
-def evaluate(config, shuffle, snapshot, out):
+@click.option("--plotting/--no-plotting", default=False,
+              help="write per-frame labeled evaluation images "
+                   "(ref evaluate_network plotting=True)")
+def evaluate(config, shuffle, snapshot, out, plotting):
     """RMSE vs human labels on the train/test split."""
     from pathlib import Path
 
@@ -140,7 +143,7 @@ def evaluate(config, shuffle, snapshot, out):
     from deepgraphpose_tpu.train.fit import resolve_project
 
     dlcpath = Path(config).parent
-    _, _, train_dir = resolve_project(dlcpath, shuffle)
+    proj, _, train_dir = resolve_project(dlcpath, shuffle)
     if snapshot:
         snap = Path(train_dir) / f"{snapshot}{ckpt_lib.CKPT_SUFFIX}"
     else:
@@ -150,6 +153,20 @@ def evaluate(config, shuffle, snapshot, out):
     result = evaluate_dgp(config, snap, shuffle=shuffle)
     if out:
         write_evaluation_csv(result, out)
+    if plotting:
+        from deepgraphpose_tpu.infer.plotting import plot_evaluation_frames
+
+        folder = (dlcpath / "evaluation-results" /
+                  f"iteration-{proj.iteration}" /
+                  f"LabeledImages_{Path(snap).stem}")
+        written = plot_evaluation_frames(
+            result["image_paths"], result["true_xy"], result["pred_xy"],
+            result["likelihood"], result["is_train"], folder,
+            pcutoff=proj.pcutoff, dotsize=proj.dotsize,
+            alpha=proj.alphavalue, colormap=proj.colormap,
+            bodyparts=proj.bodyparts)
+        click.echo(f"wrote {len(written)} labeled evaluation images to "
+                   f"{folder}")
 
 
 @main.command(context_settings=CTX)

@@ -28,34 +28,35 @@ def pairwise_distances(pred_xy: np.ndarray, true_xy: np.ndarray,
     return rmse_all, rmse_cut
 
 
-def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
-                 shuffle: int = 1, pcutoff: float | None = None,
-                 compute_dtype=None, decode: str = "dgp") -> dict:
-    """RMSE vs human labels over the train/test split.
+def load_evaluation_entries(dlcpath: Path, proj, cfg) -> list:
+    """Full labeled set + train/test split: list of (image_path, xy, is_train).
 
-    Runs the eval graph per labeled image (batched per unique image size)
-    and reports mean train/test pixel error. ``decode`` selects the
-    reference's two modes (ref: eval.py:716-760): 'dgp' = soft-argmax,
-    'dlc' = hard argmax + locref offset (predict.argmax_pose_predict).
-    Returns a dict with per-frame tables and summary scalars.
+    The reference evaluates over the FULL labeled table
+    (training-datasets/.../CollectedData_<scorer>) and splits it by the
+    Documentation pickle's train/test indices, which index that full table —
+    the .mat itself holds train items only (ref: eval.py:723-736,
+    auxiliaryfunctions.LoadMetadata). Falls back to .mat order (all-train)
+    and then to labeled-data CSVs when the trainingset files are absent.
     """
-    import jax
-
-    from deepgraphpose_tpu.core import checkpoint as ckpt_lib
     from deepgraphpose_tpu.data import project as project_io
-    from deepgraphpose_tpu.infer.predict import make_infer_fn
-    from deepgraphpose_tpu.models.pose_model import init_model
-    from deepgraphpose_tpu.train.fit import resolve_project
 
-    dlcpath = Path(proj_cfg_file).parent
-    proj, cfg, train_dir = resolve_project(dlcpath, shuffle)
-    if pcutoff is None:
-        pcutoff = proj.pcutoff
-
-    # labeled data + split
     mat_path = dlcpath / cfg.dataset if cfg.dataset else None
-    entries: list[tuple[Path, np.ndarray, bool]] = []  # (img, xy, is_train)
+    entries: list[tuple[Path, np.ndarray, bool]] = []
+    full_table = None
     if mat_path and mat_path.exists():
+        try:
+            full_table = project_io.read_labels(mat_path.parent, proj.scorer)
+        except FileNotFoundError:
+            full_table = None
+    if full_table is not None and cfg.metadataset and (
+            dlcpath / cfg.metadataset).exists():
+        _, train_idx, _, _ = project_io.read_documentation_pickle(
+            dlcpath / cfg.metadataset)
+        train_set = set(int(i) for i in np.asarray(train_idx).ravel())
+        for i, (p, c) in enumerate(zip(full_table.image_paths,
+                                       full_table.coords_xy)):
+            entries.append((dlcpath / p, c, i in train_set))
+    elif mat_path and mat_path.exists():
         ts = project_io.read_training_set(
             mat_path, dlcpath / cfg.metadataset if cfg.metadataset else None)
         coords = ts.coords_for(cfg.num_joints)
@@ -76,13 +77,39 @@ def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
                     entries.append((ip, c, True))
     if not entries:
         raise FileNotFoundError(f"no labeled data under {dlcpath}")
+    return entries
+
+
+def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
+                 shuffle: int = 1, pcutoff: float | None = None,
+                 compute_dtype=None, decode: str = "dgp") -> dict:
+    """RMSE vs human labels over the train/test split.
+
+    Runs the eval graph per labeled image (batched per unique image size)
+    and reports mean train/test pixel error. ``decode`` selects the
+    reference's two modes (ref: eval.py:716-760): 'dgp' = soft-argmax,
+    'dlc' = hard argmax + locref offset (predict.argmax_pose_predict).
+    Returns a dict with per-frame tables and summary scalars.
+    """
+    import jax
+
+    from deepgraphpose_tpu.core import checkpoint as ckpt_lib
+    from deepgraphpose_tpu.infer.predict import make_infer_fn
+    from deepgraphpose_tpu.models.pose_model import init_model
+    from deepgraphpose_tpu.train.fit import resolve_project
+
+    dlcpath = Path(proj_cfg_file).parent
+    proj, cfg, train_dir = resolve_project(dlcpath, shuffle)
+    if pcutoff is None:
+        pcutoff = proj.pcutoff
+    entries = load_evaluation_entries(dlcpath, proj, cfg)
 
     import cv2
     import jax.numpy as jnp
 
     # group by image size to keep shapes static per jit
     by_size: dict[tuple[int, int], list[int]] = {}
-    images, coords, is_train = [], [], []
+    images, coords, is_train, image_paths = [], [], [], []
     for i, (p, c, tr) in enumerate(entries):
         img = cv2.imread(str(p))
         if img is None:
@@ -92,6 +119,7 @@ def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
         images.append(img)
         coords.append(c)
         is_train.append(tr)
+        image_paths.append(p)
     coords = np.asarray(coords)
     is_train = np.asarray(is_train)
 
@@ -142,7 +170,8 @@ def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
     rmse_all, rmse_cut = pairwise_distances(pred_xy, coords, lik, pcutoff)
     out = {
         "pred_xy": pred_xy, "true_xy": coords, "likelihood": lik,
-        "is_train": is_train, "rmse": rmse_all, "rmse_pcutoff": rmse_cut,
+        "is_train": is_train, "image_paths": image_paths,
+        "rmse": rmse_all, "rmse_pcutoff": rmse_cut,
         "train_error": float(np.nanmean(rmse_all[is_train])),
         "test_error": (float(np.nanmean(rmse_all[~is_train]))
                        if (~is_train).any() else float("nan")),
@@ -157,7 +186,8 @@ def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
 def evaluate_network(config: str | Path, shuffle: int = 1,
                      trainingsetindex: int = 0,
                      snapshots: str | list | None = None,
-                     pcutoff: float | None = None) -> list[dict]:
+                     pcutoff: float | None = None,
+                     plotting: bool = False) -> list[dict]:
     """Evaluate one or all snapshots; writes a combined results CSV.
 
     ref: deeplabcut/pose_estimation_tensorflow/evaluate.py:182-405
@@ -165,6 +195,10 @@ def evaluate_network(config: str | Path, shuffle: int = 1,
     ``snapshotindex`` or 'all'), reports train/test pixel error with and
     without the pcutoff mask, and appends every row to
     ``evaluation-results/iteration-<i>/CombinedEvaluation-results.csv``.
+    With ``plotting=True``, also writes per-frame labeled evaluation
+    images (ground truth '+', predictions '.'/'x' by pcutoff, train/test
+    file prefixes) into ``LabeledImages_<snapshot>/`` next to the CSV
+    (ref: evaluate.py:382-392).
     """
     import csv
 
@@ -207,6 +241,19 @@ def evaluate_network(config: str | Path, shuffle: int = 1,
                                pcutoff=pcutoff)
             res["snapshot"] = snap.stem
             results.append(res)
+            if plotting:
+                from deepgraphpose_tpu.infer.plotting import (
+                    plot_evaluation_frames)
+
+                folder = out_dir / f"LabeledImages_{snap.stem}"
+                written = plot_evaluation_frames(
+                    res["image_paths"], res["true_xy"], res["pred_xy"],
+                    res["likelihood"], res["is_train"], folder,
+                    pcutoff=pcutoff if pcutoff is not None else proj.pcutoff,
+                    dotsize=proj.dotsize, alpha=proj.alphavalue,
+                    colormap=proj.colormap, bodyparts=proj.bodyparts)
+                print(f"wrote {len(written)} labeled evaluation images "
+                      f"to {folder}")
             wr.writerow([snap.stem, shuffle,
                          proj.TrainingFraction[trainingsetindex],
                          f"{res['train_error']:.3f}",

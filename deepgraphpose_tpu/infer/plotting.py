@@ -91,6 +91,60 @@ def plot_trajectories(config: str | Path, videos: list, shuffle: int = 1,
     return written
 
 
+def plot_evaluation_frames(image_paths, true_xy, pred_xy, likelihood,
+                           is_train, out_folder: str | Path,
+                           pcutoff: float = 0.4, dotsize: float = 8,
+                           alpha: float = 0.7, colormap: str = "jet",
+                           bodyparts: list | None = None) -> list[Path]:
+    """Per-frame labeled evaluation images with train/test coloring.
+
+    Mirror of the reference's evaluate_network(plotting=True) output
+    (ref: deeplabcut/pose_estimation_tensorflow/evaluate.py:34-39 Plotting +
+    deeplabcut/utils/visualization.py:69-87 PlottingandSaveLabeledFrame):
+    ground truth as '+', predictions as '.' when likelihood >= pcutoff and
+    'x' when below (the p-cutoff dimming), one color per bodypart, files
+    named ``Training-<folder>-<image>`` / ``Test-<folder>-<image>``.
+    """
+    import cv2
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    out_folder = Path(out_folder)
+    out_folder.mkdir(parents=True, exist_ok=True)
+    nj = np.asarray(true_xy).shape[1]
+    colors = _colors(nj, colormap)
+    written = []
+    for i, p in enumerate(image_paths):
+        p = Path(p)
+        img = cv2.imread(str(p))
+        if img is None:
+            continue
+        h, w = img.shape[:2]
+        fig, ax = plt.subplots(figsize=(w / 100, h / 100))
+        ax.imshow(img[..., ::-1])
+        for j in range(nj):
+            tx, ty = true_xy[i, j]
+            if np.isfinite(tx) and np.isfinite(ty):
+                ax.plot(tx, ty, "+", color=colors[j], ms=dotsize,
+                        mew=2, alpha=alpha)
+            px, py = pred_xy[i, j]
+            if np.isfinite(px) and np.isfinite(py):
+                marker = "." if likelihood[i, j] >= pcutoff else "x"
+                ax.plot(px, py, marker, color=colors[j], ms=dotsize,
+                        alpha=alpha)
+        ax.set_xlim(0, w)
+        ax.set_ylim(h, 0)
+        ax.axis("off")
+        prefix = "Training" if is_train[i] else "Test"
+        out = out_folder / f"{prefix}-{p.parts[-2]}-{p.name}"
+        fig.savefig(out, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        written.append(out)
+    return written
+
+
 def check_labels(config: str | Path, scale: float = 1.0) -> list[Path]:
     """Draw the human labels onto each labeled frame
     (ref: trainingsetmanipulation.py:262-343): writes

@@ -142,6 +142,30 @@ def test_evaluate_network_combined_csv(project_with_snapshot):
     assert lines[-1].startswith("snapshot-step2-final--0,1,")
 
 
+def test_evaluate_network_plotting_writes_labeled_images(
+        project_with_snapshot):
+    """plotting=True parity: per-frame labeled evaluation images with
+    Training-/Test- prefixes (ref: evaluate.py:34-39, 382-392)."""
+    from deepgraphpose_tpu.evaluation.metrics import evaluate_network
+
+    root, _ = project_with_snapshot
+    results = evaluate_network(Path(root) / "config.yaml", shuffle=1,
+                               snapshots="snapshot-step2-final--0",
+                               plotting=True)
+    folder = (Path(root) / "evaluation-results" / "iteration-0" /
+              "LabeledImages_snapshot-step2-final--0")
+    assert folder.is_dir()
+    pngs = sorted(folder.glob("*.png"))
+    assert len(pngs) == len(results[0]["image_paths"])
+    # file prefixes encode the split
+    prefixes = {p.name.split("-")[0] for p in pngs}
+    assert prefixes <= {"Training", "Test"}
+    n_train = int(np.sum(results[0]["is_train"]))
+    assert sum(p.name.startswith("Training-") for p in pngs) == n_train
+    # images are non-trivial files
+    assert all(p.stat().st_size > 1000 for p in pngs)
+
+
 def test_analyze_videos_num_outputs(project_with_snapshot, tmp_path):
     import h5py
 

@@ -73,6 +73,25 @@ def test_reaching_training_mat_roundtrip(reaching_copy):
     assert np.nanmax(coords[..., 1]) < 747
 
 
+def test_reaching_evaluation_split_has_test_frames(reaching_copy):
+    """evaluate_dgp must score the FULL labeled table and carry a non-empty
+    test split from the Documentation pickle (ref: eval.py:723-736) — the
+    .mat alone holds train items only, which would make test RMSE NaN."""
+    from deepgraphpose_tpu.evaluation.metrics import load_evaluation_entries
+    from deepgraphpose_tpu.train.fit import resolve_project
+
+    proj, cfg, _ = resolve_project(reaching_copy, shuffle=1)
+    entries = load_evaluation_entries(Path(reaching_copy), proj, cfg)
+    is_train = np.array([tr for _, _, tr in entries])
+    assert len(entries) == 55          # full CollectedData table
+    assert is_train.sum() == 52        # 95% split from the bundled pickle
+    assert (~is_train).sum() == 3
+    assert all(p.exists() for p, _, _ in entries)
+    coords = np.stack([c for _, c, _ in entries])
+    assert coords.shape == (55, 5, 2)
+    assert np.isfinite(coords).any(axis=(1, 2)).all()
+
+
 @pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
                     reason="compiles a full-size ResNet-50 on CPU; set "
                            "RUN_SLOW=1 to run")
