@@ -75,6 +75,16 @@ def _log_stats(train_dir: Path, rows: list, header: list) -> None:
         wr.writerows(rows)
 
 
+def _make_tb_writer(train_dir, tb_log: bool):
+    """Opt-in TensorBoard scalar writer under <train_dir>/log
+    (ref: train.py:131-133, fitdgp.py:128-130 TF summaries)."""
+    if not tb_log:
+        return None
+    from deepgraphpose_tpu.utils.events import ScalarEventWriter
+
+    return ScalarEventWriter(Path(train_dir) / "log")
+
+
 def _tf_ckpt_exists(prefix: Path) -> bool:
     """True if ``prefix`` names a TF checkpoint (prefix + .index file)."""
     return Path(str(prefix) + ".index").exists()
@@ -127,22 +137,28 @@ class _TrainLabeledImages:
     """Labeled-frame image set for step 0, on a fixed canvas.
 
     TPU-first: the reference's random scale jitter produces a different
-    tensor shape every iteration (pose_defaultdataset.py:136-266); here
-    images are scaled by global_scale and placed on one static canvas so a
-    single XLA program serves all iterations. Jitter becomes an optional
-    resize *within* the canvas.
+    tensor shape every iteration (pose_defaultdataset.py:136-266); here the
+    canvas is static so a single XLA program serves all iterations, and the
+    reference's scale distribution is reproduced inside it: each sample is
+    resized by ``uniform(scale_jitter_lo, scale_jitter_up) * global_scale``
+    (ref: pose_defaultdataset.py:132-135 get_scale) and, when the scaled
+    image overflows the canvas, a random window of canvas size is cropped
+    (scale-then-crop — the same composition the reference reaches via
+    CropImage, pose_dataset.py:40-53); joints falling outside are marked
+    absent exactly as the reference's cropped joints drop out.
     """
 
     def __init__(self, proj: ProjectConfig, cfg: PoseConfig,
-                 dlcpath: str | Path):
+                 dlcpath: str | Path, jitter: bool = True):
         import cv2
 
         self.cfg = cfg
+        self.jitter = jitter
         dlcpath = Path(dlcpath)
+        # raw (unscaled) images; scaling happens per batch
         self.items: list[tuple[np.ndarray, np.ndarray]] = []
 
         mat_path = dlcpath / cfg.dataset if cfg.dataset else None
-        scale = cfg.global_scale
         entries: list[tuple[Path, np.ndarray]] = []
         if mat_path and mat_path.exists():
             ts = project_io.read_training_set(
@@ -164,31 +180,66 @@ class _TrainLabeledImages:
         if not entries:
             raise FileNotFoundError(f"no labeled images under {dlcpath}")
 
-        raw = []
         for ip, c in entries:
             img = cv2.imread(str(ip))
             if img is None:
                 continue
             img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-            if scale != 1.0:
-                img = cv2.resize(img, (int(round(img.shape[1] * scale)),
-                                       int(round(img.shape[0] * scale))))
-            raw.append((img, np.asarray(c, np.float64) * scale))
-        hmax = max(i.shape[0] for i, _ in raw)
-        wmax = max(i.shape[1] for i, _ in raw)
+            self.items.append((img, np.asarray(c, np.float64)))
+
+        scale = cfg.global_scale
+        hmax = max(i.shape[0] for i, _ in self.items)
+        wmax = max(i.shape[1] for i, _ in self.items)
         s = int(cfg.stride)
-        self.canvas_hw = (-(-hmax // s) * s, -(-wmax // s) * s)
-        for img, c in raw:
-            canvas = np.zeros((*self.canvas_hw, 3), np.float32)
-            canvas[:img.shape[0], :img.shape[1]] = img
-            self.items.append((canvas, c.astype(np.float32)))
+        self.canvas_hw = (-(-int(round(hmax * scale)) // s) * s,
+                          -(-int(round(wmax * scale)) // s) * s)
 
     def __len__(self):
         return len(self.items)
 
-    def batch(self, idxs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        imgs = np.stack([self.items[i][0] for i in idxs])
-        coords = np.stack([self.items[i][1] for i in idxs])
+    def _place(self, img: np.ndarray, c: np.ndarray, scale: float,
+               rng: np.random.Generator | None):
+        """Resize by ``scale``; random-crop to the canvas if it overflows."""
+        import cv2
+
+        ch, cw = self.canvas_hw
+        if scale != 1.0:
+            img = cv2.resize(img, (max(int(round(img.shape[1] * scale)), 1),
+                                   max(int(round(img.shape[0] * scale)), 1)))
+        c = c * scale
+        h, w = img.shape[:2]
+        if h > ch or w > cw:
+            r0 = int(rng.integers(0, h - ch + 1)) if (rng is not None
+                                                      and h > ch) else 0
+            c0 = int(rng.integers(0, w - cw + 1)) if (rng is not None
+                                                      and w > cw) else 0
+            img = img[r0:r0 + ch, c0:c0 + cw]
+            c = c - np.array([c0, r0], np.float64)  # coords are (x, y)
+        canvas = np.zeros((ch, cw, 3), np.float32)
+        canvas[:img.shape[0], :img.shape[1]] = img
+        # joints cropped out of the canvas become absent (NaN)
+        oob = ((c[:, 0] < 0) | (c[:, 0] > img.shape[1] - 1) |
+               (c[:, 1] < 0) | (c[:, 1] > img.shape[0] - 1))
+        c = c.copy()
+        c[oob] = np.nan
+        return canvas, c.astype(np.float32)
+
+    def batch(self, idxs, rng: np.random.Generator | None = None
+              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        imgs_l, coords_l = [], []
+        for i in idxs:
+            img, c = self.items[i]
+            if self.jitter and rng is not None:
+                scale = float(rng.uniform(self.cfg.scale_jitter_lo,
+                                          self.cfg.scale_jitter_up)
+                              ) * self.cfg.global_scale
+            else:
+                scale = self.cfg.global_scale
+            canvas, cc = self._place(img, c, scale, rng)
+            imgs_l.append(canvas)
+            coords_l.append(cc)
+        imgs = np.stack(imgs_l)
+        coords = np.stack(coords_l)
         present = ~np.isnan(coords[..., 0])
         return imgs, np.nan_to_num(coords), present
 
@@ -201,14 +252,20 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
             shuffle: int = 1, step: int = 0, saveiters: int = 1000,
             displayiters: int = 100, maxiters: int = 200000,
             trainingsetindex: int = 0, seed: int = 0,
-            compute_dtype=None, resume: bool = True) -> Path | None:
-    """Vanilla supervised training on labeled frames (ref: fitdgp.py:53-254)."""
+            compute_dtype=None, resume: bool = True,
+            tb_log: bool = False, jitter: bool = True) -> Path | None:
+    """Vanilla supervised training on labeled frames (ref: fitdgp.py:53-254).
+
+    ``tb_log=True`` writes TensorBoard scalar event files with the per-term
+    losses under ``<train_dir>/log/`` (ref: train.py:131-133 TF summaries).
+    ``jitter`` applies the reference's per-sample scale jitter
+    (scale_jitter_lo/up x global_scale) within the static canvas."""
     proj, cfg, train_dir = resolve_project(dlcpath, shuffle, trainingsetindex)
     if ckpt_lib.snapshot_exists(train_dir, step):
         print(f"snapshot-step{step}-final--0 exists; skipping fit_dlc")
         return ckpt_lib.latest_snapshot(train_dir, step)
 
-    data = _TrainLabeledImages(proj, cfg, dlcpath)
+    data = _TrainLabeledImages(proj, cfg, dlcpath, jitter=jitter)
     rng = np.random.default_rng(seed)
     bs = max(int(cfg.batch_size), 1)
 
@@ -241,7 +298,7 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
         while it < maxiters:
             idxs = rng.integers(0, len(data), size=bs)
             if it >= start_it:
-                yield (it, *data.batch(idxs))
+                yield (it, *data.batch(idxs, rng=rng))
             it += 1
 
     def transfer(item):
@@ -251,6 +308,7 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
 
     stats, t0 = [], time.time()
     timer = profiling.StepTimer(Path(train_dir) / "steps.jsonl")
+    tb = _make_tb_writer(train_dir, tb_log)
     pf = DevicePrefetcher(producer(), transfer, depth=2)
     for it, imgs, coords, present in pf:
         variables, opt_state, out = train_step(
@@ -259,8 +317,12 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
             # float() is a device sync: attribute the interval's wall time
             # across its steps (per-iteration host timing would only see
             # the async dispatch cost)
-            loss = float(out["total_loss"])
+            terms = {k: float(v) for k, v in out.items()}
+            loss = terms["total_loss"]
             timer.interval(it, displayiters, loss=loss)
+            if tb is not None:
+                tb.add_scalars(it, {f"loss/{k}": v
+                                    for k, v in terms.items()})
             print(f"[fit_dlc] iter {it}/{maxiters} loss {loss:.4f} "
                   f"({time.time() - t0:.1f}s)", flush=True)
             stats.append([it, loss])
@@ -268,6 +330,8 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
             ckpt_lib.save_snapshot(train_dir, step, it, variables, opt_state,
                                    cfg.max_to_keep)
     timer.close()
+    if tb is not None:
+        tb.close()
     ckpt_lib.save_snapshot(train_dir, step, maxiters - 1, variables,
                            opt_state, cfg.max_to_keep)
     final = ckpt_lib.save_snapshot(train_dir, step, "final--0", variables)
@@ -335,7 +399,8 @@ def fit_dgp_labeledonly(snapshot: str = "snapshot-step0-final--0",
                         ns: int = 10, n_max_frames: int = 2000,
                         nepoch: int = 100, aug: bool = True, seed: int = 0,
                         trainingsetindex: int = 0, compute_dtype=None,
-                        resume: bool = True, debug: str = "") -> Path | None:
+                        resume: bool = True, debug: str = "",
+                        tb_log: bool = False) -> Path | None:
     """Step 1: DGP objective, visible-frame losses only
     (ref: fitdgp.py:257-546 — one visible frame per iteration)."""
     return _fit_dgp_impl(
@@ -344,7 +409,7 @@ def fit_dgp_labeledonly(snapshot: str = "snapshot-step0-final--0",
         batch_size=1, ns=ns, n_max_frames=n_max_frames, gm2=0, gm3=0,
         nepoch=nepoch, wt=0.0, aug=aug, visible_only=True, seed=seed,
         trainingsetindex=trainingsetindex, compute_dtype=compute_dtype,
-        resume=resume, debug=debug)
+        resume=resume, debug=debug, tb_log=tb_log)
 
 
 def fit_dgp(snapshot: str = "snapshot-step1-final--0",
@@ -354,7 +419,8 @@ def fit_dgp(snapshot: str = "snapshot-step1-final--0",
             n_max_frames: int = 2000, gm2: int = 0, gm3: int = 0,
             nepoch: int = 100, wt: float = 0.0, aug: bool = True,
             seed: int = 0, trainingsetindex: int = 0, compute_dtype=None,
-            resume: bool = True, debug: str = "") -> Path | None:
+            resume: bool = True, debug: str = "",
+            tb_log: bool = False) -> Path | None:
     """Step 2: full semi-supervised DGP (ref: fitdgp.py:549-845)."""
     return _fit_dgp_impl(
         snapshot=snapshot, dlcpath=dlcpath, shuffle=shuffle, step=step,
@@ -362,13 +428,14 @@ def fit_dgp(snapshot: str = "snapshot-step1-final--0",
         batch_size=batch_size, ns=ns, n_max_frames=n_max_frames, gm2=gm2,
         gm3=gm3, nepoch=nepoch, wt=wt, aug=aug, visible_only=False,
         seed=seed, trainingsetindex=trainingsetindex,
-        compute_dtype=compute_dtype, resume=resume, debug=debug)
+        compute_dtype=compute_dtype, resume=resume, debug=debug,
+        tb_log=tb_log)
 
 
 def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
                   maxiters, batch_size, ns, n_max_frames, gm2, gm3, nepoch,
                   wt, aug, visible_only, seed, trainingsetindex,
-                  compute_dtype, resume, debug) -> Path | None:
+                  compute_dtype, resume, debug, tb_log=False) -> Path | None:
     proj, cfg, train_dir = resolve_project(dlcpath, shuffle, trainingsetindex)
     if ckpt_lib.snapshot_exists(train_dir, step, debug):
         print(f"snapshot-step{step}{debug}-final--0 exists; skipping")
@@ -465,6 +532,7 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
 
     stats, t0 = [], time.time()
     timer = profiling.StepTimer(Path(train_dir) / "steps.jsonl")
+    tb = _make_tb_writer(train_dir, tb_log)
     pf = DevicePrefetcher(producer(), transfer, depth=2)
     name = "fit_dgp_labeledonly" if visible_only else "fit_dgp"
     for it, images, batch in pf:
@@ -473,8 +541,12 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
         if displayiters and it % displayiters == 0:
             key = "total_loss_visible" if visible_only else "total_loss"
             # float() is a device sync: attribute the interval across steps
-            loss = float(out[key])
+            terms = {k: float(v) for k, v in out.items()}
+            loss = terms[key]
             timer.interval(it, displayiters, loss=loss)
+            if tb is not None:
+                tb.add_scalars(it, {f"loss/{k}": v
+                                    for k, v in terms.items()})
             print(f"[{name}] iter {it}/{n_iters} loss {loss:.4f} "
                   f"({time.time() - t0:.1f}s)", flush=True)
             stats.append([it, loss])
@@ -482,6 +554,8 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
             ckpt_lib.save_snapshot(train_dir, step, it, variables, opt_state,
                                    cfg.max_to_keep, debug)
     timer.close()
+    if tb is not None:
+        tb.close()
     ckpt_lib.save_snapshot(train_dir, step, max(n_iters - 1, 0), variables,
                            opt_state, cfg.max_to_keep, debug)
     final = ckpt_lib.save_snapshot(train_dir, step, "final--0", variables,

@@ -166,18 +166,27 @@ def test_three_step_pipeline_smoke(tiny_project):
     """End-to-end: step 0 -> 1 -> 2 with tiny iteration counts
     (the reference's --test mode, run_dgp_demo.py:175-235)."""
     root = tiny_project
-    snap0 = fit_dlc(dlcpath=root, maxiters=3, displayiters=1, saveiters=100)
+    snap0 = fit_dlc(dlcpath=root, maxiters=3, displayiters=1, saveiters=100,
+                    tb_log=True)
     assert snap0 is not None and snap0.name == "snapshot-step0-final--0.ckpt"
 
     snap1 = fit_dgp_labeledonly(dlcpath=root, maxiters=2, displayiters=1,
                                 saveiters=100, ns=2, n_max_frames=20,
-                                nepoch=1, aug=False)
+                                nepoch=1, aug=False, tb_log=True)
     assert snap1.name == "snapshot-step1-final--0.ckpt"
 
     snap2 = fit_dgp(dlcpath=root, batch_size=3, maxiters=3, displayiters=1,
                     saveiters=100, ns=2, n_max_frames=20, nepoch=1,
-                    aug=False)
+                    aug=False, tb_log=True)
     assert snap2.name == "snapshot-step2-final--0.ckpt"
+
+    # opt-in TensorBoard scalars: one event file per fit call, with
+    # per-term loss tags (ref: train.py:131-133, fitdgp.py:128-130)
+    log_dir = Path(root, "dlc-models/iteration-0/"
+                   "SynthJan1-trainset95shuffle1", "train", "log")
+    event_files = sorted(log_dir.glob("events.out.tfevents.*"))
+    assert len(event_files) == 3
+    assert all(f.stat().st_size > 100 for f in event_files)
 
     # idempotency: skip-if-done returns the existing final snapshot
     again = fit_dgp(dlcpath=root, batch_size=3, maxiters=3, ns=2,
@@ -293,3 +302,54 @@ def test_latest_snapshot_prefers_highest_step(tmp_path):
     assert latest.name == "snapshot-step2-final--0.ckpt"
     latest1 = ckpt_lib.latest_snapshot(tmp_path, step=1)
     assert latest1.name == "snapshot-step1-final--0.ckpt"
+
+
+def test_step0_scale_jitter_tracks_coords(synthetic_project):
+    """The reference's per-sample scale jitter (pose_defaultdataset.py:
+    132-135) inside the static canvas: sampled scales vary, shapes stay
+    static, and the returned coords still point at the image content (the
+    synthetic frames have a bright disc at every label)."""
+    from deepgraphpose_tpu.train.fit import (_TrainLabeledImages,
+                                             resolve_project)
+
+    root, lab_idx, _ = synthetic_project
+    proj, cfg, _ = resolve_project(root, 1)
+    data = _TrainLabeledImages(proj, cfg, root, jitter=True)
+    rng = np.random.default_rng(0)
+
+    n = 8
+    imgs, coords, present = data.batch([0] * n, rng=rng)
+    assert imgs.shape == (n, *data.canvas_hw, 3)  # static canvas
+    assert present.shape == coords.shape[:2]
+
+    # jitter actually varies the scale: repeated samples of the same item
+    # land the (present) joints at different places
+    xs = coords[:, :, 0][present.reshape(n, -1)].reshape(n, -1)
+    assert len(np.unique(np.round(xs[:, 0], 3))) >= 3
+
+    # coords track the jittered content: a bright disc sits at every label
+    hits = total = 0
+    for k in range(n):
+        for j in range(coords.shape[1]):
+            if not present[k, j]:
+                continue
+            x, y = coords[k, j]
+            x0, x1 = int(max(x - 5, 0)), int(min(x + 6, imgs.shape[2]))
+            y0, y1 = int(max(y - 5, 0)), int(min(y + 6, imgs.shape[1]))
+            total += 1
+            if imgs[k, y0:y1, x0:x1].max() > 100:
+                hits += 1
+    assert total > 0 and hits == total, (hits, total)
+
+
+def test_step0_jitter_off_is_deterministic(synthetic_project):
+    from deepgraphpose_tpu.train.fit import (_TrainLabeledImages,
+                                             resolve_project)
+
+    root, _, _ = synthetic_project
+    proj, cfg, _ = resolve_project(root, 1)
+    data = _TrainLabeledImages(proj, cfg, root, jitter=False)
+    a = data.batch([0, 1], rng=np.random.default_rng(0))
+    b = data.batch([0, 1], rng=np.random.default_rng(1))
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
