@@ -151,7 +151,8 @@ def main(argv=None) -> int:
         f"wall-clock {timings['step0_s']}/{timings['step1_s']}/"
         f"{timings['step2_s']} s per step. "
         "RMSE vs human labels (pixels, full 747x832 resolution), "
-        "`evaluate_dgp` train/test split from the bundled .mat:",
+        "`evaluate_dgp` over the full 55-frame labeled table, train/test "
+        "split from the bundled Documentation pickle (52/3):",
         "",
         "| snapshot | decode | train RMSE (px) | test RMSE (px) |"
         " n_train | n_test |",
