@@ -5,7 +5,7 @@ Command surface mirrors the reference's click-based ``dlc`` group
 (ref: demo/run_dgp_demo.py:117-147):
 
     dgp create-project   dgp add-videos          dgp extract-frames
-    dgp check-labels     dgp create-training-dataset
+    dgp label-frames     dgp check-labels        dgp create-training-dataset
     dgp train            dgp evaluate            dgp analyze-videos
     dgp filter-predictions  dgp extract-outlier-frames
     dgp create-labeled-video  dgp plot-trajectories
@@ -65,6 +65,21 @@ def extract_frames(config, algo, crop):
     from deepgraphpose_tpu.project import extract_frames as _extract
 
     _extract(config, algo=algo, crop=crop)
+
+
+@main.command(context_settings=CTX)
+@click.argument("config", type=click.Path(exists=True))
+@click.option("--video", default=None,
+              help="labeled-data video dir (default: first)")
+@click.option("--port", default=8574, type=int)
+def label_frames(config, video, port):
+    """Browser labeling UI (headless replacement for the wx toolbox)."""
+    from pathlib import Path
+
+    from deepgraphpose_tpu.project.label_server import LabelServer
+
+    LabelServer(Path(config).parent, video=video,
+                port=port).serve_forever()
 
 
 @main.command(context_settings=CTX)
