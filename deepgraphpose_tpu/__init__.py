@@ -57,6 +57,9 @@ _LAZY_API = {
         "plot_trajectories": ("deepgraphpose_tpu.infer.plotting",
                               "plot_trajectories"),
         "check_labels": ("deepgraphpose_tpu.infer.plotting", "check_labels"),
+        # labeling UI (ref: deeplabcut.label_frames / refine_labels wx GUIs)
+        "LabelServer": ("deepgraphpose_tpu.project.label_server",
+                        "LabelServer"),
         "extract_save_all_maps": ("deepgraphpose_tpu.evaluation.maps",
                                   "extract_save_all_maps"),
         # label-file hygiene (ref: trainingsetmanipulation.py:36-219)

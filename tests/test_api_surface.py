@@ -13,7 +13,7 @@ def test_lazy_api_resolves():
                  "analyze_videos", "analyze_time_lapse_frames",
                  "evaluate_network", "filterpredictions",
                  "extract_outlier_frames", "analyzeskeleton",
-                 "plot_trajectories", "check_labels",
+                 "plot_trajectories", "check_labels", "LabelServer",
                  "extract_save_all_maps", "create_new_project_3d",
                  "compare_video_lists_and_data_folders",
                  "drop_duplicates_in_annotation_files",
