@@ -144,13 +144,9 @@ def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
                     heads["part_pred"], heads.get("locref"),
                     stride=cfg.stride, locref_stdev=cfg.locref_stdev)
 
-            for i in idxs:
-                xyl = np.asarray(infer_dlc(
-                    variables, jnp.asarray(images[i][None])))[0]
-                pred_xy[i] = xyl[:, :2]
-                lik[i] = xyl[:, 2]
-            continue
-        infer = make_infer_fn(model, cfg)
+            infer = infer_dlc
+        else:
+            infer = make_infer_fn(model, cfg)
         # batch same-size images; pad the tail so one program serves all
         bs = min(cfg.infer_batch_size, len(idxs))
         for s in range(0, len(idxs), bs):
@@ -159,6 +155,13 @@ def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
             pad = bs - len(group)
             if pad:
                 arr = np.concatenate([arr, arr[-1:].repeat(pad, 0)])
+            if decode == "dlc":
+                xyl = np.asarray(infer(variables,
+                                       jnp.asarray(arr)))[:len(group)]
+                for k, i in enumerate(group):
+                    pred_xy[i] = xyl[k, :, :2]
+                    lik[i] = xyl[k, :, 2]
+                continue
             mu, l = infer(variables, jnp.asarray(arr))
             mu = np.asarray(mu)[:len(group)]
             l = np.asarray(l)[:len(group)]
