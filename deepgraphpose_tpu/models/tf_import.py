@@ -63,6 +63,28 @@ def _deconv_to_tf(arr: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(arr.transpose(0, 1, 3, 2)[::-1, ::-1])
 
 
+def _depthwise_from_tf(arr: np.ndarray) -> np.ndarray:
+    """TF depthwise (H, W, C, mult=1) -> flax grouped conv (H, W, 1, C).
+
+    Self-inverse under the same transpose (mult == 1), so the exporter
+    reuses it. TF applies filter [:, :, c, 0] to channel c; a flax conv
+    with feature_group_count=C applies kernel[:, :, 0, c] to group c.
+    """
+    return np.ascontiguousarray(arr.transpose(0, 1, 3, 2))
+
+
+# flat slim index of (block, unit): slim names the 17 inverted-residual ops
+# expanded_conv, expanded_conv_1 ... expanded_conv_16 in order
+_V2_UNITS = (1, 2, 3, 4, 3, 3, 1)
+_V2_OFFSETS = tuple(sum(_V2_UNITS[:b]) for b in range(len(_V2_UNITS)))
+
+
+def _mobilenet_scope(block: int, unit: int) -> str:
+    flat = _V2_OFFSETS[block] + unit
+    suffix = "" if flat == 0 else f"_{flat}"
+    return f"MobilenetV2/expanded_conv{suffix}"
+
+
 def tf_name_for_path(path: tuple[str, ...], net_type: str) -> tuple[str, Callable] | None:
     """Map one Flax variable path to (tf_variable_name, array_transform).
 
@@ -101,6 +123,34 @@ def tf_name_for_path(path: tuple[str, ...], net_type: str) -> tuple[str, Callabl
             if sub == "shortcut_bn":
                 return (f"{base}/shortcut/BatchNorm/"
                         f"{_BN_MAP[(collection, leaf)]}", ident)
+        return None
+
+    # --- MobileNetV2 backbone (slim scope MobilenetV2, ref:
+    # pose_net_mobilenet.py:31-200 / mobilenet_v2.py) ---
+    if mods and mods[0].startswith("MobileNetV2"):
+        mods = mods[1:]
+        if not mods:
+            return None
+        bn_leaf = _BN_MAP.get((collection, leaf))
+        if mods[0] == "conv_stem" and leaf == "kernel":
+            return "MobilenetV2/Conv/weights", ident
+        if mods[0] == "stem_bn" and bn_leaf:
+            return f"MobilenetV2/Conv/BatchNorm/{bn_leaf}", ident
+        if mods[0] == "conv_head" and leaf == "kernel":
+            return "MobilenetV2/Conv_1/weights", ident
+        if mods[0] == "head_bn" and bn_leaf:
+            return f"MobilenetV2/Conv_1/BatchNorm/{bn_leaf}", ident
+        m = re.fullmatch(r"block(\d+)_unit(\d+)", mods[0])
+        if m:
+            base = _mobilenet_scope(int(m.group(1)), int(m.group(2)))
+            sub = mods[1]
+            if sub == "depthwise" and leaf == "kernel":
+                return f"{base}/depthwise/depthwise_weights", _depthwise_from_tf
+            if sub in ("expand", "project") and leaf == "kernel":
+                return f"{base}/{sub}/weights", ident
+            bm = re.fullmatch(r"(expand|depthwise|project)_bn", sub)
+            if bm and bn_leaf:
+                return f"{base}/{bm.group(1)}/BatchNorm/{bn_leaf}", ident
         return None
 
     # --- heads: pose/{part_pred,locref_pred,intermediate_supervision}/block4 ---
@@ -257,5 +307,7 @@ def export_tf_arrays(variables: Mapping,
         arr = np.asarray(leaf, dtype=np.float32)
         if transform is _deconv_from_tf:
             arr = _deconv_to_tf(arr)
+        elif transform is _depthwise_from_tf:
+            arr = _depthwise_from_tf(arr)  # self-inverse
         out[tf_name] = arr
     return out

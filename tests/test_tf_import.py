@@ -167,3 +167,65 @@ def test_write_tf_checkpoint_roundtrip(tmp_path):
         for k in path:
             node = node[k]
         np.testing.assert_array_equal(np.asarray(leaf, np.float32), node)
+
+
+def test_mobilenet_name_map_total_and_roundtrip():
+    """Every MobileNetV2 variable maps to a slim name (ref:
+    pose_net_mobilenet.py:31-200 loads slim MobilenetV2 checkpoints), and
+    export -> import is bit-exact including the depthwise layout swap."""
+    cfg = PoseConfig(num_joints=3, net_type="mobilenet_v2_1.0",
+                     all_joints_names=["a", "b", "c"])
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (64, 64))
+
+    arrays = tf_import.export_tf_arrays(variables, "mobilenet_v2_1.0")
+    # canonical slim names present
+    for name in ("MobilenetV2/Conv/weights",
+                 "MobilenetV2/Conv/BatchNorm/moving_variance",
+                 "MobilenetV2/expanded_conv/depthwise/depthwise_weights",
+                 "MobilenetV2/expanded_conv/project/weights",
+                 "MobilenetV2/expanded_conv_16/project/weights",
+                 "MobilenetV2/Conv_1/weights",
+                 "pose/part_pred/block4/weights"):
+        assert name in arrays, name
+    # the first op (expansion=1) has no expand conv, later ones do
+    assert "MobilenetV2/expanded_conv/expand/weights" not in arrays
+    assert "MobilenetV2/expanded_conv_1/expand/weights" in arrays
+    # depthwise kernels are TF layout (H, W, C, 1)
+    dw = arrays["MobilenetV2/expanded_conv/depthwise/depthwise_weights"]
+    assert dw.shape[:2] == (3, 3) and dw.shape[3] == 1
+
+    # every backbone/head variable is covered (nothing silently skipped)
+    def count(tree):
+        return sum(count(v) if isinstance(v, dict) else 1
+                   for v in tree.values())
+
+    assert len(arrays) == count(variables["params"]) + count(
+        variables["batch_stats"])
+
+    new_vars, report = tf_import.import_tf_arrays(
+        variables, arrays, net_type="mobilenet_v2_1.0")
+    assert not report["missing"]
+    flat_a = jax.tree_util.tree_leaves(variables)
+    flat_b = jax.tree_util.tree_leaves(new_vars)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_depthwise_transform_matches_tf(rng):
+    """flax grouped conv with the transformed kernel == tf depthwise conv."""
+    tf = pytest.importorskip("tensorflow")
+
+    c = 8
+    x = rng.normal(0, 1, (1, 10, 12, c)).astype(np.float32)
+    w_tf = rng.normal(0, 1, (3, 3, c, 1)).astype(np.float32)
+    out_tf = np.asarray(tf.nn.depthwise_conv2d(
+        x, w_tf, strides=(1, 1, 1, 1), padding="SAME"))
+
+    import flax.linen as nn
+
+    w_fl = tf_import._depthwise_from_tf(w_tf)
+    conv = nn.Conv(c, (3, 3), padding="SAME", feature_group_count=c,
+                   use_bias=False)
+    out_fl = conv.apply({"params": {"kernel": jnp.asarray(w_fl)}},
+                        jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out_fl), out_tf, atol=1e-5)
