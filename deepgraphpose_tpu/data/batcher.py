@@ -136,7 +136,7 @@ class VideoDataset:
 class DGPBatch:
     """Fixed-size padded batch for the DGP objective (all numpy)."""
 
-    images: np.ndarray        # (B, H_in, W_in, 3) float32
+    images: np.ndarray        # (B, H_in, W_in, 3) uint8
     targets: np.ndarray       # (B, nj, 2) scoremap (row, col); NaN -> 0
     visible_mask: np.ndarray  # (B*nj,)
     hidden_mask: np.ndarray   # (B*nj,)
@@ -147,7 +147,13 @@ class DGPBatch:
     frames: np.ndarray        # (B,) source frame numbers (-1 for padding)
     dataset_index: int = 0
 
-    def as_jnp(self) -> dict:
+    def as_jnp(self, flow=None) -> dict:
+        """Device dict for the jitted DGP step.
+
+        ``flow`` substitutes an already-device-resident flow array — the
+        trainer reuses one cached zeros buffer when wt == 0 so the full-res
+        (B-1, H, W) zeros are not re-transferred every iteration.
+        """
         import jax.numpy as jnp
 
         return dict(
@@ -157,7 +163,7 @@ class DGPBatch:
             frame_mask=jnp.asarray(self.frame_mask),
             wt_batch=jnp.asarray(self.wt_batch),
             pair_mask=jnp.asarray(self.pair_mask),
-            flow=jnp.asarray(self.flow),
+            flow=jnp.asarray(self.flow) if flow is None else flow,
         )
 
 
@@ -177,13 +183,19 @@ def assemble_batch(ds: VideoDataset, vis_idx, hid_idx, pad_to: int,
     if t_real > pad_to:
         raise ValueError(f"batch of {t_real} frames exceeds pad_to={pad_to}")
 
-    images = ds.get_frames(frames).astype(np.float32)
+    # images stay uint8 end-to-end: the model subtracts the mean pixel on
+    # device (pose_model.py:35-36), and uint8 H2D is 4x cheaper than f32 —
+    # on the hot train path that is ~60 MB/iteration saved at batch_size 10
+    # full-res (and the reference's own pipeline feeds uint8 pixel data)
+    images = ds.get_frames(frames)
     rc, frame_visible = ds.labels_rc_for_frames(frames)
     vis_set = set(int(i) for i in np.asarray(vis_idx))
     frame_visible = np.array([int(f) in vis_set for f in frames]) & frame_visible
 
     if augmenter is not None and frame_visible.any():
-        images, rc = augmenter(images, rc, frame_visible, ds.cfg, rng=rng)
+        images, rc = augmenter(images.astype(np.float32), rc, frame_visible,
+                               ds.cfg, rng=rng)
+        images = np.clip(images, 0, 255).astype(np.uint8)
 
     nj = ds.nj
     # marker masks: visible = labeled frame & not NaN; hidden = everything else
@@ -209,7 +221,7 @@ def assemble_batch(ds: VideoDataset, vis_idx, hid_idx, pad_to: int,
     if compute_flow and wt > 0:
         from deepgraphpose_tpu.data.flow import flow_magnitude_sequence
 
-        flow = flow_magnitude_sequence(images[:t_real].astype(np.uint8))
+        flow = flow_magnitude_sequence(images[:t_real])
         if pad:
             flow = np.concatenate(
                 [flow, np.zeros((pad, *flow.shape[1:]), flow.dtype)])

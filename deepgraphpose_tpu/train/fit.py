@@ -215,7 +215,9 @@ class _TrainLabeledImages:
                                                       and w > cw) else 0
             img = img[r0:r0 + ch, c0:c0 + cw]
             c = c - np.array([c0, r0], np.float64)  # coords are (x, y)
-        canvas = np.zeros((ch, cw, 3), np.float32)
+        # uint8 canvas: the model mean-subtracts on device, and uint8 H2D
+        # is 4x cheaper than f32
+        canvas = np.zeros((ch, cw, 3), np.uint8)
         canvas[:img.shape[0], :img.shape[1]] = img
         # joints cropped out of the canvas become absent (NaN)
         oob = ((c[:, 0] < 0) | (c[:, 0] > img.shape[1] - 1) |
@@ -244,6 +246,25 @@ class _TrainLabeledImages:
         return imgs, np.nan_to_num(coords), present
 
 
+def _index_stream(n_items: int, bs: int, deterministic: bool,
+                  rng: np.random.Generator):
+    """Yield per-iteration sample indices for step 0.
+
+    'deterministic' walks the labeled set in fixed cyclic order (ref:
+    pose_dataset_deterministic.py — sequential, no shuffling); otherwise
+    indices are drawn uniformly at random (ref: pose_defaultdataset.py
+    shuffled sampling). The rng is consumed every iteration in the random
+    mode so mid-step resume replays the same stream.
+    """
+    it = 0
+    while True:
+        if deterministic:
+            yield (it * bs + np.arange(bs)) % n_items
+        else:
+            yield rng.integers(0, n_items, size=bs)
+        it += 1
+
+
 # ---------------------------------------------------------------------------
 # step 0: DLC warm-start
 # ---------------------------------------------------------------------------
@@ -264,6 +285,16 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
     if ckpt_lib.snapshot_exists(train_dir, step):
         print(f"snapshot-step{step}-final--0 exists; skipping fit_dlc")
         return ckpt_lib.latest_snapshot(train_dir, step)
+
+    # pose_cfg dataset_type dispatch (ref: dataset/factory.py:19-44). The 4
+    # loader variants collapse onto one static-shape loader here:
+    # 'deterministic' = fixed sequential order, no jitter/random crop
+    # (ref: pose_dataset_deterministic.py); 'default'/'imgaug'/'tensorpack'
+    # = shuffled sampling with scale jitter (tensorpack's parallel pipeline
+    # role is played by DevicePrefetcher).
+    deterministic = cfg.dataset_type == "deterministic"
+    if deterministic:
+        jitter = False
 
     data = _TrainLabeledImages(proj, cfg, dlcpath, jitter=jitter)
     rng = np.random.default_rng(seed)
@@ -294,12 +325,12 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
               f"(iteration {start_it})")
 
     def producer():
-        it = 0
-        while it < maxiters:
-            idxs = rng.integers(0, len(data), size=bs)
+        stream = _index_stream(len(data), bs, deterministic, rng)
+        for it in range(maxiters):
+            idxs = next(stream)
             if it >= start_it:
-                yield (it, *data.batch(idxs, rng=rng))
-            it += 1
+                yield (it, *data.batch(idxs,
+                                       rng=None if deterministic else rng))
 
     def transfer(item):
         it, imgs, coords, present = item
@@ -525,10 +556,22 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
                                    augmenter=augmenter, rng=rng)
             yield it, batch
 
+    # when wt == 0 the flow input is identically zero: transfer it once per
+    # frame shape and reuse the device buffer every iteration (full-res
+    # (B-1, H, W) f32 is ~25 MB/iteration at the reference batch size —
+    # pure H2D waste)
+    flow_dev_cache: dict = {}
+
     def transfer(item):
         it, b = item
+        flow = None
+        if cfg.wt == 0:
+            key = b.flow.shape
+            if key not in flow_dev_cache:
+                flow_dev_cache[key] = jax.device_put(np.zeros_like(b.flow))
+            flow = flow_dev_cache[key]
         return it, jax.device_put(b.images), {
-            k: jax.device_put(v) for k, v in b.as_jnp().items()}
+            k: jax.device_put(v) for k, v in b.as_jnp(flow=flow).items()}
 
     stats, t0 = [], time.time()
     timer = profiling.StepTimer(Path(train_dir) / "steps.jsonl")

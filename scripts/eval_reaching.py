@@ -37,11 +37,16 @@ if str(REPO_ROOT) not in sys.path:
 REFERENCE_PROJECT = Path("/root/reference/data/Reaching-Mackenzie-2018-08-30")
 
 
-def make_workdir(workdir: Path) -> Path:
+def make_workdir(workdir: Path, fresh: bool = False) -> Path:
     import cv2
     import yaml
 
     dst = workdir / "Reaching-Mackenzie-2018-08-30"
+    if dst.exists() and not fresh:
+        # reuse: completed steps skip via their final snapshots, and an
+        # interrupted step resumes from its latest intermediate snapshot
+        print(f"reusing existing workdir {dst}")
+        return dst
     if dst.exists():
         shutil.rmtree(dst)
     shutil.copytree(REFERENCE_PROJECT, dst,
@@ -78,6 +83,8 @@ def main(argv=None) -> int:
     ap.add_argument("--batch_size", type=int, default=10)
     ap.add_argument("--wt", type=float, default=0.0)
     ap.add_argument("--out", type=Path, default=REPO_ROOT / "EVAL.md")
+    ap.add_argument("--fresh", action="store_true",
+                    help="rebuild the workdir instead of resuming")
     args = ap.parse_args(argv)
 
     import jax
@@ -88,7 +95,7 @@ def main(argv=None) -> int:
                                              resolve_project)
 
     args.workdir.mkdir(parents=True, exist_ok=True)
-    proj_dir = make_workdir(args.workdir)
+    proj_dir = make_workdir(args.workdir, fresh=args.fresh)
     _, _, train_dir = resolve_project(proj_dir, shuffle=1)
     platform = jax.devices()[0].platform
     it0, it1, it2 = args.iters

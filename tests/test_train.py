@@ -342,6 +342,50 @@ def test_step0_scale_jitter_tracks_coords(synthetic_project):
     assert total > 0 and hits == total, (hits, total)
 
 
+def test_dataset_type_dispatch():
+    """pose_cfg dataset_type dispatch (ref: dataset/factory.py:19-44):
+    'deterministic' walks the labeled set in fixed cyclic order regardless
+    of the rng; the default mode samples randomly."""
+    from deepgraphpose_tpu.train.fit import _index_stream
+
+    det = _index_stream(5, 3, True, np.random.default_rng(0))
+    np.testing.assert_array_equal(next(det), [0, 1, 2])
+    np.testing.assert_array_equal(next(det), [3, 4, 0])
+    np.testing.assert_array_equal(next(det), [1, 2, 3])
+    # rng-independent
+    det2 = _index_stream(5, 3, True, np.random.default_rng(7))
+    np.testing.assert_array_equal(next(det2), [0, 1, 2])
+
+    rnd_a = _index_stream(100, 4, False, np.random.default_rng(0))
+    rnd_b = _index_stream(100, 4, False, np.random.default_rng(0))
+    a = [next(rnd_a) for _ in range(3)]
+    b = [next(rnd_b) for _ in range(3)]
+    np.testing.assert_array_equal(np.concatenate(a), np.concatenate(b))
+    assert len(np.unique(np.concatenate(a))) > 4  # actually random
+
+
+def test_fit_dlc_honors_deterministic_dataset_type(tmp_path):
+    """fit_dlc reads dataset_type from pose_cfg and runs the deterministic
+    loader path end-to-end (jitter forced off, sequential order)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import make_synthetic_project
+
+    from deepgraphpose_tpu.train.fit import fit_dlc
+
+    root = str(tmp_path / "detproj")
+    make_synthetic_project(root, n_frames=10, n_labeled=3, hw=(48, 64))
+    cfg_path = Path(root, "dlc-models/iteration-0/"
+                    "SynthJan1-trainset95shuffle1", "train", "pose_cfg.yaml")
+    raw = yaml.safe_load(cfg_path.read_text())
+    raw["net_type"] = "mobilenet_v2_0.35"
+    raw["dataset_type"] = "deterministic"
+    cfg_path.write_text(yaml.safe_dump(raw))
+
+    snap = fit_dlc(dlcpath=root, maxiters=2, displayiters=1, saveiters=100)
+    assert snap is not None and snap.name == "snapshot-step0-final--0.ckpt"
+
+
 def test_step0_jitter_off_is_deterministic(synthetic_project):
     from deepgraphpose_tpu.train.fit import (_TrainLabeledImages,
                                              resolve_project)
