@@ -81,6 +81,11 @@ def main(argv=None) -> int:
     ap.add_argument("--iters", type=int, nargs=3, default=[3000, 1000, 1000],
                     metavar=("IT0", "IT1", "IT2"))
     ap.add_argument("--batch_size", type=int, default=10)
+    ap.add_argument("--step0_batch", type=int, default=None,
+                    help="override pose_cfg batch_size for fit_dlc — "
+                    "from-scratch runs (no bundled ImageNet ckpt) need "
+                    "larger batches than the reference's warm-started "
+                    "batch_size 1")
     ap.add_argument("--wt", type=float, default=0.0)
     ap.add_argument("--out", type=Path, default=REPO_ROOT / "EVAL.md")
     ap.add_argument("--fresh", action="store_true",
@@ -97,6 +102,13 @@ def main(argv=None) -> int:
     args.workdir.mkdir(parents=True, exist_ok=True)
     proj_dir = make_workdir(args.workdir, fresh=args.fresh)
     _, _, train_dir = resolve_project(proj_dir, shuffle=1)
+    if args.step0_batch is not None:
+        import yaml
+
+        pc = Path(train_dir) / "pose_cfg.yaml"
+        raw = yaml.safe_load(pc.read_text())
+        raw["batch_size"] = args.step0_batch
+        pc.write_text(yaml.safe_dump(raw, sort_keys=False))
     platform = jax.devices()[0].platform
     it0, it1, it2 = args.iters
     timings = {}
@@ -141,6 +153,7 @@ def main(argv=None) -> int:
     stamp = time.strftime("%Y-%m-%d %H:%M")
     record = dict(date=stamp, platform=platform,
                   iters=[it0, it1, it2], batch_size=args.batch_size,
+                  step0_batch=args.step0_batch,
                   wt=args.wt, timings=timings, results=rows)
     json_path = args.out.with_suffix(".json")
     history = []
@@ -153,7 +166,9 @@ def main(argv=None) -> int:
         "",
         f"## Reaching-Mackenzie run — {stamp} ({platform})",
         "",
-        f"Pipeline: fit_dlc {it0} iters -> fit_dgp_labeledonly {it1} -> "
+        f"Pipeline: fit_dlc {it0} iters"
+        + (f" (batch {args.step0_batch})" if args.step0_batch else "")
+        + f" -> fit_dgp_labeledonly {it1} -> "
         f"fit_dgp {it2} (batch_size={args.batch_size}, wt={args.wt}); "
         f"wall-clock {timings['step0_s']}/{timings['step1_s']}/"
         f"{timings['step2_s']} s per step. "
