@@ -169,11 +169,17 @@ class DGPBatch:
 
 def assemble_batch(ds: VideoDataset, vis_idx, hid_idx, pad_to: int,
                    wt: float = 0.0, compute_flow: bool = False,
-                   augmenter=None, rng=None) -> DGPBatch:
+                   augmenter=None, rng=None,
+                   with_images: bool = True) -> DGPBatch:
     """Build a fixed-size batch from visible+hidden frame indices.
 
     Mirrors the reference's per-iteration assembly (ref: fitdgp.py:751-815)
     with padding to ``pad_to`` frames (repeat-last, masked out).
+
+    ``with_images=False`` skips frame decode and augmentation and returns a
+    1x1 image placeholder — the device-pool path (train/device_data.py)
+    gathers and augments images in HBM; only the small label/mask tensors
+    are assembled on host.
     """
     frames = np.sort(np.concatenate([np.asarray(vis_idx, np.int64),
                                      np.asarray(hid_idx, np.int64)]))
@@ -187,7 +193,11 @@ def assemble_batch(ds: VideoDataset, vis_idx, hid_idx, pad_to: int,
     # device (pose_model.py:35-36), and uint8 H2D is 4x cheaper than f32 —
     # on the hot train path that is ~60 MB/iteration saved at batch_size 10
     # full-res (and the reference's own pipeline feeds uint8 pixel data)
-    images = ds.get_frames(frames)
+    if with_images:
+        images = ds.get_frames(frames)
+    else:
+        images = np.zeros((t_real, 1, 1, 3), np.uint8)
+        augmenter = None
     rc, frame_visible = ds.labels_rc_for_frames(frames)
     vis_set = set(int(i) for i in np.asarray(vis_idx))
     frame_visible = np.array([int(f) in vis_set for f in frames]) & frame_visible

@@ -51,23 +51,24 @@ class InvertedResidual(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         in_ch = x.shape[-1]
         mid = in_ch * self.expansion
-        bn = lambda name: FrozenBatchNorm(dtype=self.dtype, name=name)
+        bn = lambda name, z: FrozenBatchNorm(dtype=self.dtype, name=name)(
+            z, train)
         y = x
         if self.expansion != 1:
             y = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
                         name="expand")(y)
-            y = nn.relu6(bn("expand_bn")(y))
+            y = nn.relu6(bn("expand_bn", y))
         y = nn.Conv(mid, (3, 3), strides=(self.stride, self.stride),
                     kernel_dilation=(self.rate, self.rate), padding="SAME",
                     feature_group_count=mid, use_bias=False, dtype=self.dtype,
                     name="depthwise")(y)
-        y = nn.relu6(bn("depthwise_bn")(y))
+        y = nn.relu6(bn("depthwise_bn", y))
         y = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
                     name="project")(y)
-        y = bn("project_bn")(y)
+        y = bn("project_bn", y)
         if self.stride == 1 and in_ch == self.out_ch:
             y = x + y
         return y
@@ -79,13 +80,14 @@ class MobileNetV2(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
-        bn = lambda name: FrozenBatchNorm(dtype=self.dtype, name=name)
+        bn = lambda name, z: FrozenBatchNorm(dtype=self.dtype, name=name)(
+            z, train)
         ch = _depth(32, self.width)
         x = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
                     dtype=self.dtype, name="conv_stem")(x)
-        x = nn.relu6(bn("stem_bn")(x))
+        x = nn.relu6(bn("stem_bn", x))
         current_stride = 2
         rate = 1
         end_points = {}
@@ -101,14 +103,14 @@ class MobileNetV2(nn.Module):
                 x = InvertedResidual(
                     expansion=exp, out_ch=out_ch, stride=unit_stride,
                     rate=unit_rate, dtype=self.dtype,
-                    name=f"block{b}_unit{u}")(x)
+                    name=f"block{b}_unit{u}")(x, train)
                 current_stride *= unit_stride
             end_points[f"block{b}"] = x
         # final 1x1: 1280 channels floor (TF slim keeps >= 1280 at width<1)
         last = _depth(1280, max(self.width, 1.0))
         x = nn.Conv(last, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv_head")(x)
-        x = nn.relu6(bn("head_bn")(x))
+        x = nn.relu6(bn("head_bn", x))
         end_points["head"] = x
         return x, end_points
 

@@ -30,8 +30,13 @@ class PoseModel(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray) -> dict:
-        """images: (T, H, W, 3) float32 RGB in [0, 255]."""
+    def __call__(self, images: jnp.ndarray, train: bool = False) -> dict:
+        """images: (T, H, W, 3) float32 RGB in [0, 255].
+
+        ``train=True`` runs batch-norm on batch statistics and updates the
+        moving stats (pass ``mutable=["batch_stats"]``) — a from-scratch
+        extension; the reference always freezes BN (ref: pose_net.py:52).
+        """
         mean = jnp.asarray(self.cfg.mean_pixel, dtype=jnp.float32)
         x = (images.astype(jnp.float32) - mean).astype(self.dtype)
 
@@ -43,7 +48,7 @@ class PoseModel(nn.Module):
             backbone = make_backbone(
                 self.cfg.net_type, output_stride=self.cfg.output_stride,
                 dtype=self.dtype)
-        features, end_points = backbone(x)
+        features, end_points = backbone(x, train)
 
         heads = {}
         heads["part_pred"] = PredictionHead(

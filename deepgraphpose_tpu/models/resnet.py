@@ -49,18 +49,27 @@ def same_pad_for_stride(kernel: int, rate: int = 1) -> tuple[int, int]:
 
 
 class FrozenBatchNorm(nn.Module):
-    """BatchNorm in pure inference mode (moving stats are constants).
+    """BatchNorm defaulting to pure inference mode (moving stats constant).
 
     gamma/beta remain trainable parameters (slim keeps them in the trainable
     set even with is_training=False); mean/var live in the ``batch_stats``
     collection and are never updated by the optimizer.
+
+    ``train=True`` normalizes by batch statistics and EWMA-updates the
+    moving stats (requires ``mutable=["batch_stats"]`` at apply time). The
+    reference never exposes this — it always warm-starts from ImageNet with
+    ``is_training=False`` (ref: pose_net.py:52) — but from-scratch training
+    (no pretrained checkpoint available) collapses without normalization, so
+    this framework adds it as an opt-in extension (``fit_dlc(bn_train=...)``,
+    auto-enabled when no warm start is found).
     """
 
     epsilon: float = 1e-5
+    momentum: float = 0.99
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
@@ -68,9 +77,21 @@ class FrozenBatchNorm(nn.Module):
                              lambda: jnp.zeros((features,), jnp.float32))
         var = self.variable("batch_stats", "var",
                             lambda: jnp.ones((features,), jnp.float32))
+        if train:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            batch_mean = jnp.mean(xf, axis=axes)
+            batch_var = jnp.var(xf, axis=axes)
+            if not self.is_initializing():
+                m = self.momentum
+                mean.value = m * mean.value + (1.0 - m) * batch_mean
+                var.value = m * var.value + (1.0 - m) * batch_var
+            use_mean, use_var = batch_mean, batch_var
+        else:
+            use_mean, use_var = mean.value, var.value
         # fold into a single multiply-add; XLA fuses this into the conv
-        inv = scale / jnp.sqrt(var.value + self.epsilon)
-        y = x * inv.astype(self.dtype) + (bias - mean.value * inv).astype(self.dtype)
+        inv = scale / jnp.sqrt(use_var + self.epsilon)
+        y = x * inv.astype(self.dtype) + (bias - use_mean * inv).astype(self.dtype)
         return y
 
 
@@ -84,7 +105,7 @@ class BottleneckV1(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         in_depth = x.shape[-1]
 
         def conv(f, k, s, d, name):
@@ -96,11 +117,12 @@ class BottleneckV1(nn.Module):
                            padding=pad, use_bias=False, dtype=self.dtype,
                            name=name)
 
-        bn = lambda name: FrozenBatchNorm(dtype=self.dtype, name=name)
+        bn = lambda name, y: FrozenBatchNorm(dtype=self.dtype, name=name)(
+            y, train)
 
         if in_depth != self.depth:
             shortcut = conv(self.depth, 1, self.stride, 1, "shortcut_conv")(x)
-            shortcut = bn("shortcut_bn")(shortcut)
+            shortcut = bn("shortcut_bn", shortcut)
         elif self.stride != 1:
             # slim subsample(): 1x1 max-pool with stride
             shortcut = nn.max_pool(x, (1, 1), strides=(self.stride, self.stride))
@@ -108,11 +130,11 @@ class BottleneckV1(nn.Module):
             shortcut = x
 
         y = conv(self.depth_bottleneck, 1, 1, 1, "conv1")(x)
-        y = nn.relu(bn("bn1")(y))
+        y = nn.relu(bn("bn1", y))
         y = conv(self.depth_bottleneck, 3, self.stride, self.rate, "conv2")(y)
-        y = nn.relu(bn("bn2")(y))
+        y = nn.relu(bn("bn2", y))
         y = conv(self.depth, 1, 1, 1, "conv3")(y)
-        y = bn("bn3")(y)
+        y = bn("bn3", y)
         return nn.relu(shortcut + y)
 
 
@@ -124,14 +146,14 @@ class ResNetV1(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
         # slim root: conv2d_same(64, 7, stride=2) -> pad (3,3) + VALID,
         # then a VALID 3x3/2 max-pool (slim.max_pool2d default padding).
         x = nn.Conv(64, (7, 7), strides=(2, 2),
                     padding=(same_pad_for_stride(7),) * 2, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        x = nn.relu(FrozenBatchNorm(dtype=self.dtype, name="bn1")(x))
+        x = nn.relu(FrozenBatchNorm(dtype=self.dtype, name="bn1")(x, train))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
         current_stride = 4
         rate = 1
@@ -157,7 +179,7 @@ class ResNetV1(nn.Module):
                 x = BottleneckV1(
                     depth=depth, depth_bottleneck=db, stride=effective_stride,
                     rate=unit_rate, dtype=self.dtype,
-                    name=f"block{b + 1}_unit{u + 1}")(x)
+                    name=f"block{b + 1}_unit{u + 1}")(x, train)
                 current_stride *= effective_stride
                 rate = next_rate
             end_points[f"block{b + 1}"] = x

@@ -1,0 +1,305 @@
+"""On-device (XLA) keypoint-aware augmentation.
+
+TPU-first counterpart of ``data/augment.py``: when training images live in
+HBM (``train/device_data.py`` pools), augmentation must run on device —
+host-side cv2 would force a full-resolution H2D round trip every iteration
+(the dominant cost on PCIe, catastrophic over a dev tunnel). Everything here
+is branchless and static-shape so it compiles into the training step:
+
+* one fused inverse-affine bilinear resample implements scale jitter /
+  random crop / horizontal flip / rotation / crop-and-pad, with an optional
+  elastic displacement field folded into the same gather;
+* photometric ops (motion blur, coarse dropout, additive gaussian noise)
+  follow as elementwise/small-stencil work XLA fuses away;
+* keypoints are transformed by the forward affine; joints leaving the
+  canvas are marked absent, matching the host pipeline.
+
+Per-op application gates are Bernoulli draws blended into the *parameters*
+(identity when off), so one compiled program serves every iteration.
+
+Capability parity with the reference's imgaug pipeline (ref:
+src/deepgraphpose/models/fitdgp_util.py:412-451: Fliplr, +/-10 deg rotate,
+MotionBlur k=3, CoarseDropout (0,0.02)/(0.01,0.05), ElasticTransformation
+sigma=5 alpha<=10, AdditiveGaussianNoise 0.01*255, CropAndPad (-0.3,0.1)
+p=0.4) plus the default loader's scale jitter (ref:
+pose_defaultdataset.py:132-135). Deviations, both shared with
+data/augment.py's host implementation: elastic displacement does not move
+keypoints (sub-pixel at the reference's settings), and out-of-image samples
+are zero-filled (cv2 BORDER_CONSTANT) rather than reflected.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class DeviceAugmentConfig:
+    """Static augmentation parameters (hashable; closed over by jit)."""
+
+    apply_prob: float = 0.8
+    # geometric
+    scale_jitter: tuple = (1.0, 1.0)   # (lo, up) relative to the canvas
+    flip: bool = True
+    rotate_deg: float = 10.0
+    crop_pad_percent: tuple = (-0.3, 0.1)
+    crop_pad_prob: float = 0.4
+    elastic_alpha: float = 10.0
+    elastic_cell: int = 12             # displacement-field grid spacing (px)
+    # photometric
+    motion_blur: bool = True
+    dropout_frac: tuple = (0.0, 0.02)
+    dropout_cell: int = 16             # static dropout grid spacing (px)
+    noise_scale: float = 0.01 * 255.0
+
+    @classmethod
+    def reference(cls, scale_jitter: tuple = (1.0, 1.0)):
+        """The reference's step-2 pipeline settings (build_aug)."""
+        return cls(scale_jitter=scale_jitter)
+
+    @classmethod
+    def jitter_only(cls, lo: float, up: float):
+        """Step-0 default-loader semantics: scale jitter, nothing else
+        (ref: pose_defaultdataset.py:132-135; no imgaug in fit_dlc)."""
+        return cls(apply_prob=0.0, scale_jitter=(lo, up), flip=False,
+                   rotate_deg=0.0, crop_pad_prob=0.0, elastic_alpha=0.0,
+                   motion_blur=False, noise_scale=0.0)
+
+
+def _affine_params(key, cfg: DeviceAugmentConfig, b: int, hw: tuple,
+                   content_wh, gate):
+    """Per-sample forward affine  p_out = A @ p + t  (pixel x,y coords).
+
+    Composition (host order, data/augment.py augment_one): scale jitter with
+    top-left placement / random crop, then flip and rotation about the
+    canvas center, then crop-and-pad as a center scale.
+    """
+    h, w = hw
+    ks = jax.random.split(key, 7)
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+
+    # --- scale jitter + random crop translation (step-0 semantics) ---
+    lo, up = cfg.scale_jitter
+    s = jax.random.uniform(ks[0], (b,), minval=lo, maxval=up)
+    s = jnp.where(gate > 0, s, 1.0)
+    # content scaled by s from the top-left corner; when it overflows the
+    # canvas, crop a random window (translation in [W - s*w_c, 0])
+    u = jax.random.uniform(ks[1], (b, 2))
+    over = jnp.minimum(0.0, jnp.stack(
+        [w - s * content_wh[:, 0], h - s * content_wh[:, 1]], axis=-1))
+    t_crop = u * over
+
+    # --- flip about the canvas center ---
+    if cfg.flip:
+        do_flip = (jax.random.uniform(ks[2], (b,)) < cfg.apply_prob * 0.5)
+        fx = jnp.where(jnp.logical_and(do_flip, gate > 0), -1.0, 1.0)
+    else:
+        fx = jnp.ones((b,))
+
+    # --- rotation about the canvas center ---
+    ang = jax.random.uniform(ks[3], (b,), minval=-cfg.rotate_deg,
+                             maxval=cfg.rotate_deg)
+    do_rot = (jax.random.uniform(ks[4], (b,)) < cfg.apply_prob)
+    ang = jnp.where(jnp.logical_and(do_rot, gate > 0), ang, 0.0)
+    th = jnp.deg2rad(ang)
+    c, sn = jnp.cos(th), jnp.sin(th)
+
+    # --- crop-and-pad: center scale by 1/(1+pct), keep_size ---
+    pct = jax.random.uniform(ks[5], (b,),
+                             minval=cfg.crop_pad_percent[0],
+                             maxval=cfg.crop_pad_percent[1])
+    do_cp = (jax.random.uniform(ks[6], (b,)) < cfg.crop_pad_prob)
+    sc = jnp.where(jnp.logical_and(do_cp, gate > 0),
+                   1.0 / (1.0 + pct), 1.0)
+
+    # forward affine: p1 = s*p + t_crop
+    #                 p2 = center + Rot @ Flip @ (p1 - center)
+    #                 p3 = center + sc * (p2 - center)
+    # A = sc * Rot @ Flip * s ;  t follows by composing the offsets
+    a11 = sc * c * fx * s
+    a12 = sc * (-sn) * s
+    a21 = sc * sn * fx * s
+    a22 = sc * c * s
+    A = jnp.stack([jnp.stack([a11, a12], -1),
+                   jnp.stack([a21, a22], -1)], -2)        # (b, 2, 2)
+    ctr = jnp.array([cx, cy])
+    # offset: apply composition to t_crop and centers
+    #   p2 = R F (s p + t_crop - ctr) + ctr ; p3 = sc (p2 - ctr) + ctr
+    RF = jnp.stack([jnp.stack([c * fx, -sn], -1),
+                    jnp.stack([sn * fx, c], -1)], -2)      # (b, 2, 2)
+    t = sc[:, None] * jnp.einsum("bij,bj->bi", RF, t_crop - ctr) + ctr
+    return A, t
+
+
+def _inverse_affine(A, t):
+    det = A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]
+    det = jnp.where(jnp.abs(det) < 1e-8, 1e-8, det)
+    inv = jnp.stack([
+        jnp.stack([A[:, 1, 1], -A[:, 0, 1]], -1),
+        jnp.stack([-A[:, 1, 0], A[:, 0, 0]], -1)], -2) / det[:, None, None]
+    return inv, t
+
+
+def _bilinear_gather(images, xs, ys):
+    """Sample images (B,H,W,C) at float coords xs/ys (B,H,W); OOB -> 0.
+
+    Four flattened ``jnp.take`` gathers — the TPU-friendly formulation (one
+    big gather beats a vmapped per-pixel dynamic_slice by orders of
+    magnitude; cf. infer/dynamic.py's whole-batch slice note).
+    """
+    b, h, w, ch = images.shape
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    wx = xs - x0
+    wy = ys - y0
+    valid = ((xs >= 0) & (xs <= w - 1) & (ys >= 0) & (ys <= h - 1))
+
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+
+    flat = images.reshape(b, h * w, ch)
+
+    def take(yi, xi):
+        idx = yi * w + xi                      # (B,H,W)
+        return jnp.take_along_axis(
+            flat, idx.reshape(b, h * w, 1), axis=1).reshape(b, h, w, ch)
+
+    v00 = take(y0i, x0i)
+    v01 = take(y0i, x1i)
+    v10 = take(y1i, x0i)
+    v11 = take(y1i, x1i)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    out = ((1 - wy) * ((1 - wx) * v00 + wx * v01)
+           + wy * ((1 - wx) * v10 + wx * v11))
+    return out * valid[..., None]
+
+
+def _elastic_field(key, cfg: DeviceAugmentConfig, b: int, hw: tuple, gate):
+    """Smooth per-sample displacement field (B,H,W,2), zero when gated off."""
+    h, w = hw
+    gh = max(2, -(-h // cfg.elastic_cell) + 1)
+    gw = max(2, -(-w // cfg.elastic_cell) + 1)
+    k1, k2, k3 = jax.random.split(key, 3)
+    coarse = jax.random.uniform(k1, (b, gh, gw, 2), minval=-1.0, maxval=1.0)
+    field = jax.image.resize(coarse, (b, h, w, 2), method="bilinear")
+    alpha = jax.random.uniform(k2, (b,), minval=0.0,
+                               maxval=cfg.elastic_alpha)
+    on = (jax.random.uniform(k3, (b,)) < cfg.apply_prob)
+    alpha = jnp.where(jnp.logical_and(on, gate > 0), alpha, 0.0)
+    return field * alpha[:, None, None, None]
+
+
+def _motion_blur(key, cfg: DeviceAugmentConfig, images, gate):
+    """3x3 directional blur with a random angle, as 9 shifted adds."""
+    b = images.shape[0]
+    k1, k2 = jax.random.split(key)
+    ang = jax.random.uniform(k1, (b,), minval=-90.0, maxval=90.0)
+    on = (jax.random.uniform(k2, (b,)) < cfg.apply_prob)
+    th = jnp.deg2rad(ang)
+    dx, dy = jnp.cos(th), jnp.sin(th)
+    # weight of cell offset o: on the line through the center along (dx,dy)
+    offs = jnp.array([(oy, ox) for oy in (-1, 0, 1) for ox in (-1, 0, 1)],
+                     jnp.float32)                                   # (9, 2)
+    perp = jnp.abs(offs[None, :, 0] * dx[:, None]
+                   - offs[None, :, 1] * dy[:, None])                # (b, 9)
+    wgt = jnp.maximum(0.0, 1.0 - perp)
+    wgt = wgt / jnp.sum(wgt, axis=1, keepdims=True)
+    ident = jnp.zeros((9,)).at[4].set(1.0)
+    wgt = jnp.where(jnp.logical_and(on, gate > 0)[:, None], wgt,
+                    ident[None, :])
+    padded = jnp.pad(images, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    h, w = images.shape[1:3]
+    out = jnp.zeros_like(images)
+    for i, (oy, ox) in enumerate([(oy, ox) for oy in (-1, 0, 1)
+                                  for ox in (-1, 0, 1)]):
+        out = out + (wgt[:, i, None, None, None]
+                     * padded[:, 1 + oy:h + 1 + oy, 1 + ox:w + 1 + ox, :])
+    return out
+
+
+def _coarse_dropout(key, cfg: DeviceAugmentConfig, images, gate):
+    b, h, w, _ = images.shape
+    gh = -(-h // cfg.dropout_cell)
+    gw = -(-w // cfg.dropout_cell)
+    k1, k2, k3 = jax.random.split(key, 3)
+    frac = jax.random.uniform(k1, (b, 1, 1), minval=cfg.dropout_frac[0],
+                              maxval=cfg.dropout_frac[1])
+    on = (jax.random.uniform(k2, (b,)) < cfg.apply_prob)
+    frac = jnp.where(jnp.logical_and(on, gate > 0)[:, None, None], frac, 0.0)
+    keep = (jax.random.uniform(k3, (b, gh, gw)) >= frac)
+    mask = jnp.repeat(jnp.repeat(keep, cfg.dropout_cell, axis=1),
+                      cfg.dropout_cell, axis=2)[:, :h, :w]
+    return images * mask[..., None]
+
+
+def _noise(key, cfg: DeviceAugmentConfig, images, gate):
+    b = images.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+    scale = jax.random.uniform(k1, (b,), minval=0.0, maxval=cfg.noise_scale)
+    on = (jax.random.uniform(k2, (b,)) < cfg.apply_prob)
+    scale = jnp.where(jnp.logical_and(on, gate > 0), scale, 0.0)
+    n = jax.random.normal(k3, images.shape[:3] + (1,))
+    return jnp.clip(images + scale[:, None, None, None] * n, 0.0, 255.0)
+
+
+def augment_batch(key, images, coords_xy, present, cfg: DeviceAugmentConfig,
+                  gate=None, content_wh=None):
+    """Augment a batch entirely on device.
+
+    Args:
+      key: PRNG key.
+      images: (B,H,W,3) uint8 or float32, [0,255].
+      coords_xy: (B,nj,2) pixel (x,y) keypoints.
+      present: (B,nj) bool/float visibility.
+      cfg: static DeviceAugmentConfig.
+      gate: optional (B,) {0,1} — samples with gate 0 pass through untouched
+        (e.g. hidden frames: the reference augments visible frames only,
+        ref: fitdgp.py:779).
+      content_wh: optional (B,2) content (w,h) per canvas for the random
+        crop bound; defaults to the full canvas.
+
+    Returns (images_f32, coords_xy, present_f32).
+    """
+    b, h, w, _ = images.shape
+    images = images.astype(jnp.float32)
+    if gate is None:
+        gate = jnp.ones((b,))
+    gate = gate.astype(jnp.float32)
+    if content_wh is None:
+        content_wh = jnp.broadcast_to(
+            jnp.array([float(w), float(h)]), (b, 2))
+
+    k_aff, k_el, k_mb, k_do, k_no = jax.random.split(key, 5)
+    A, t = _affine_params(k_aff, cfg, b, (h, w), content_wh, gate)
+
+    # inverse map for resampling: src = A^-1 @ (dst - t) (+ elastic)
+    Ainv, _ = _inverse_affine(A, t)
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    dst = jnp.stack([xs, ys], axis=-1)                     # (H,W,2)
+    rel = dst[None] - t[:, None, None, :]                  # (B,H,W,2)
+    src = jnp.einsum("bij,bhwj->bhwi", Ainv, rel)
+    if cfg.elastic_alpha > 0:
+        src = src + _elastic_field(k_el, cfg, b, (h, w), gate)
+    out = _bilinear_gather(images, src[..., 0], src[..., 1])
+
+    if cfg.motion_blur:
+        out = _motion_blur(k_mb, cfg, out, gate)
+    if cfg.dropout_frac[1] > 0:
+        out = _coarse_dropout(k_do, cfg, out, gate)
+    if cfg.noise_scale > 0:
+        out = _noise(k_no, cfg, out, gate)
+
+    # keypoints: forward affine; OOB -> absent
+    kp = (jnp.einsum("bij,bnj->bni", A, coords_xy.astype(jnp.float32))
+          + t[:, None, :])
+    inb = ((kp[..., 0] >= 0) & (kp[..., 0] <= w - 1)
+           & (kp[..., 1] >= 0) & (kp[..., 1] <= h - 1))
+    present = present.astype(jnp.float32) * inb.astype(jnp.float32)
+    return out, kp, present

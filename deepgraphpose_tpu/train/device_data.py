@@ -1,0 +1,225 @@
+"""Device-resident training-data pools + pooled train steps.
+
+TPU-first redesign of the per-iteration host feed. The reference feeds ~12
+full-resolution tensors per ``sess.run`` (ref: fitdgp.py:801-815); the
+round-1 trainer already cut that to one uint8 image tensor + small masks,
+but on PCIe- or tunnel-attached hosts the image H2D still dominates the
+step. The training sets are small enough to live in HBM outright (Reaching:
+52 labeled canvases ~ 97 MB; DGP window pools are capped at
+``n_max_frames`` ~ a few GB uint8), so:
+
+* the whole labeled image set (step 0) / per-video frame pool (steps 1-2)
+  is uploaded ONCE as a uint8 array;
+* every iteration sends only sample indices (bytes);
+* the batch is gathered on device inside the jitted train step and
+  augmented there (ops/augment_device.py), so aug also stops being host
+  work on the critical path.
+
+Falls back transparently (``fits()``) when a pool would exceed the HBM
+budget or when the temporal clique needs host-side optical flow (wt > 0,
+ref: fitdgp_util.py:454-467 — Farneback runs on host exactly like the
+reference).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deepgraphpose_tpu.core.config import PoseConfig
+from deepgraphpose_tpu.ops.augment_device import (DeviceAugmentConfig,
+                                                  augment_batch)
+from deepgraphpose_tpu.ops.dgp_objective import DGPLossParams, dgp_loss
+from deepgraphpose_tpu.train.steps import _apply_model, dlc_supervised_loss
+
+# pools larger than this stay on the host path (v5e HBM is 16 GB; leave
+# room for params, optimizer state, and activations)
+DEFAULT_POOL_BUDGET_BYTES = 6 * 1024**3
+
+
+def pool_fits(n: int, h: int, w: int,
+              budget: int = DEFAULT_POOL_BUDGET_BYTES) -> bool:
+    return n * h * w * 3 <= budget
+
+
+class LabeledImagePool:
+    """Step-0 labeled set in HBM: canvases, coords, presence, content dims.
+
+    Canvases are the ``global_scale``-resized images placed at the top-left
+    of the shared static canvas (train/fit.py::_TrainLabeledImages); the
+    per-sample scale *jitter* and any further augmentation happen on device
+    per batch.
+    """
+
+    def __init__(self, items, canvas_hw: tuple, cfg: PoseConfig):
+        import cv2
+
+        ch, cw = canvas_hw
+        n = len(items)
+        nj = cfg.num_joints
+        images = np.zeros((n, ch, cw, 3), np.uint8)
+        coords = np.zeros((n, nj, 2), np.float32)
+        present = np.zeros((n, nj), np.float32)
+        content = np.zeros((n, 2), np.float32)
+        s = cfg.global_scale
+        for i, (img, c) in enumerate(items):
+            if s != 1.0:
+                img = cv2.resize(
+                    img, (max(int(round(img.shape[1] * s)), 1),
+                          max(int(round(img.shape[0] * s)), 1)))
+            h = min(img.shape[0], ch)
+            w = min(img.shape[1], cw)
+            images[i, :h, :w] = img[:h, :w]
+            cc = np.asarray(c, np.float64) * s
+            ok = ~np.isnan(cc[:, 0])
+            coords[i] = np.nan_to_num(cc)
+            present[i] = ok.astype(np.float32)
+            content[i] = (w, h)
+
+        self.n = n
+        self.canvas_hw = canvas_hw
+        self.images = jax.device_put(images)
+        self.coords = jax.device_put(coords)
+        self.present = jax.device_put(present)
+        self.content_wh = jax.device_put(content)
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.images.size)
+
+
+def make_pooled_dlc_train_step(model, cfg: PoseConfig,
+                               tx: optax.GradientTransformation,
+                               aug_cfg: DeviceAugmentConfig | None,
+                               bn_train: bool = False):
+    """Step-0 train step gathering + augmenting its batch from a pool.
+
+    step(variables, opt_state, pool_images, pool_coords, pool_present,
+         pool_content, idxs, key, it)
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(variables, opt_state, pool_images, pool_coords, pool_present,
+             pool_content, idxs, key, it):
+        images = jnp.take(pool_images, idxs, axis=0)
+        coords = jnp.take(pool_coords, idxs, axis=0)
+        present = jnp.take(pool_present, idxs, axis=0)
+        if aug_cfg is not None:
+            content = jnp.take(pool_content, idxs, axis=0)
+            images, coords, present = augment_batch(
+                key, images, coords, present, aug_cfg, content_wh=content)
+
+        params = variables["params"]
+        rest = {k: v for k, v in variables.items() if k != "params"}
+
+        def loss_fn(p):
+            heads, updated = _apply_model(model, p, rest, images, bn_train)
+            out = dlc_supervised_loss(heads, coords, present, cfg)
+            return out["total_loss"], (out, updated)
+
+        grads, (out, updated) = jax.grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        new_vars = {"params": params, **rest}
+        if updated is not None:
+            new_vars["batch_stats"] = updated["batch_stats"]
+        return new_vars, opt_state, out
+
+    return step
+
+
+class FramePool:
+    """Steps-1/2 per-video frame pool in HBM.
+
+    Holds every frame the precomputed schedule can touch (the video's
+    ``chunk`` — visible + hidden + window frames, ref: dataset.py:373-424)
+    and maps frame numbers to pool rows.
+    """
+
+    def __init__(self, ds):
+        frames = np.unique(np.concatenate([
+            np.asarray(ds.visible_frames, np.int64),
+            np.asarray(ds.hidden_frames, np.int64),
+            np.asarray(ds.chunk, np.int64)]))
+        self.frames = frames
+        self._row = {int(f): i for i, f in enumerate(frames)}
+        imgs = ds.get_frames(frames)
+        self.images = jax.device_put(np.ascontiguousarray(imgs))
+        self.hw = imgs.shape[1:3]
+
+    def rows(self, frame_numbers) -> np.ndarray:
+        """Pool rows for frame numbers; padding (-1) maps to row 0 (masked
+        out by frame_mask downstream)."""
+        return np.array([self._row.get(int(f), 0) for f in frame_numbers],
+                        np.int32)
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.images.size)
+
+
+def make_pooled_dgp_train_step(model, params_obj: DGPLossParams,
+                               tx: optax.GradientTransformation,
+                               aug_cfg: DeviceAugmentConfig | None,
+                               visible_only: bool = False,
+                               bn_train: bool = False):
+    """DGP train step gathering its window from a FramePool.
+
+    step(variables, opt_state, pool_images, rows, batch, key). ``batch`` is
+    the small-tensor dict from DGPBatch.as_jnp(); augmentation (visible
+    frames only, matching ref: fitdgp.py:779) rewrites targets and the
+    visible/hidden masks on device: joints pushed off-canvas flip from
+    visible to hidden, exactly as the host path's NaN bookkeeping does.
+    """
+    key_name = "total_loss_visible" if visible_only else "total_loss"
+    stride = params_obj.stride
+    nj = params_obj.nj
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(variables, opt_state, pool_images, rows, batch, key):
+        images = jnp.take(pool_images, rows, axis=0)
+        if aug_cfg is not None:
+            b = images.shape[0]
+            vis_m = batch["visible_mask"].reshape(b, nj)
+            frame_gate = (jnp.max(vis_m, axis=1) > 0).astype(jnp.float32)
+            rc = batch["targets"]
+            xy = jnp.stack([rc[..., 1] * stride + stride / 2.0,
+                            rc[..., 0] * stride + stride / 2.0], axis=-1)
+            images, xy, vis_new = augment_batch(
+                key, images, xy, vis_m, aug_cfg, gate=frame_gate)
+            rc_new = jnp.stack([(xy[..., 1] - stride / 2.0) / stride,
+                                (xy[..., 0] - stride / 2.0) / stride],
+                               axis=-1)
+            gated = frame_gate[:, None] > 0
+            targets = jnp.where(gated[..., None], rc_new, rc)
+            visible_mask = jnp.where(gated, vis_new, vis_m)
+            # a visible joint augmented off-canvas becomes a hidden marker
+            hid_m = batch["hidden_mask"].reshape(b, nj)
+            hidden_mask = jnp.where(gated & (vis_m > 0) & (visible_mask <= 0),
+                                    1.0, hid_m)
+            batch = dict(batch, targets=targets,
+                         visible_mask=visible_mask.reshape(-1),
+                         hidden_mask=hidden_mask.reshape(-1))
+
+        params = variables["params"]
+        rest = {k: v for k, v in variables.items() if k != "params"}
+
+        def loss_fn(p):
+            heads, updated = _apply_model(model, p, rest, images, bn_train)
+            out = dgp_loss(heads["part_pred"], heads["locref"], batch,
+                           params_obj)
+            return out[key_name], (out, updated)
+
+        grads, (out, updated) = jax.grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        new_vars = {"params": params, **rest}
+        if updated is not None:
+            new_vars["batch_stats"] = updated["batch_stats"]
+        return new_vars, opt_state, out
+
+    return step

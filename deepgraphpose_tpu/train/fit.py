@@ -91,7 +91,8 @@ def _tf_ckpt_exists(prefix: Path) -> bool:
 
 
 def _warm_start(variables: dict, cfg: PoseConfig, train_dir: Path,
-                snapshot: str | None, allow_init_weights: bool = True) -> dict:
+                snapshot: str | None, allow_init_weights: bool = True
+                ) -> tuple[dict, bool]:
     """Restore backbone+heads from (in order of preference):
 
     1. our msgpack snapshot ``<train_dir>/<snapshot>.ckpt``,
@@ -99,11 +100,16 @@ def _warm_start(variables: dict, cfg: PoseConfig, train_dir: Path,
        reference's ``--dlcsnapshot`` hand-off (ref: fitdgp.py:132-149),
     3. ``cfg.init_weights`` as a TF checkpoint (slim ImageNet
        ``resnet_v1_50.ckpt``; backbone scope only, ref: fitdgp.py:119-127).
+
+    Returns ``(variables, warmed)`` — ``warmed=False`` means random init,
+    which callers use to auto-enable trainable batch-norm (a from-scratch
+    extension the reference doesn't have; it always warm-starts).
     """
     if snapshot:
         snap_path = Path(train_dir) / f"{snapshot}{ckpt_lib.CKPT_SUFFIX}"
         if snap_path.exists():
-            return ckpt_lib.restore_backbone_and_heads(variables, snap_path)
+            return ckpt_lib.restore_backbone_and_heads(variables,
+                                                       snap_path), True
         tf_prefix = Path(train_dir) / snapshot
         if _tf_ckpt_exists(tf_prefix):
             from deepgraphpose_tpu.models import tf_import
@@ -113,7 +119,7 @@ def _warm_start(variables: dict, cfg: PoseConfig, train_dir: Path,
                 scopes=("resnet", "pose"))
             print(f"imported TF1 snapshot {tf_prefix} "
                   f"({len(report['imported'])} vars)")
-            return variables
+            return variables, True
     if allow_init_weights and cfg.init_weights:
         init_prefix = Path(cfg.init_weights)
         if not init_prefix.is_absolute() and cfg.project_path:
@@ -126,11 +132,11 @@ def _warm_start(variables: dict, cfg: PoseConfig, train_dir: Path,
                 scopes=("resnet",))
             print(f"imported ImageNet init {init_prefix} "
                   f"({len(report['imported'])} vars)")
-            return variables
+            return variables, True
     if snapshot:
         print(f"warning: warm-start snapshot {snapshot} not found under "
               f"{train_dir}; training from random init")
-    return variables
+    return variables, False
 
 
 class _TrainLabeledImages:
@@ -274,13 +280,25 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
             displayiters: int = 100, maxiters: int = 200000,
             trainingsetindex: int = 0, seed: int = 0,
             compute_dtype=None, resume: bool = True,
-            tb_log: bool = False, jitter: bool = True) -> Path | None:
+            tb_log: bool = False, jitter: bool = True,
+            bn_train: bool | None = None,
+            device_data: bool | None = None,
+            aug: bool = False) -> Path | None:
     """Vanilla supervised training on labeled frames (ref: fitdgp.py:53-254).
 
     ``tb_log=True`` writes TensorBoard scalar event files with the per-term
     losses under ``<train_dir>/log/`` (ref: train.py:131-133 TF summaries).
     ``jitter`` applies the reference's per-sample scale jitter
-    (scale_jitter_lo/up x global_scale) within the static canvas."""
+    (scale_jitter_lo/up x global_scale) within the static canvas.
+    ``bn_train`` trains batch-norm on batch statistics (None = auto: on
+    when no warm start was found — the reference has no from-scratch path;
+    frozen random-init BN collapses to predicting the dataset mean).
+    ``device_data`` keeps the whole labeled set in HBM and gathers/augments
+    batches on device (None = auto when it fits; train/device_data.py) —
+    per-iteration H2D drops to the index vector. ``aug=True`` additionally
+    runs the full reference augmentation pipeline on visible frames (an
+    extension for from-scratch runs; the reference's fit_dlc uses only
+    scale jitter + crop, ref: pose_defaultdataset.py:136-266)."""
     proj, cfg, train_dir = resolve_project(dlcpath, shuffle, trainingsetindex)
     if ckpt_lib.snapshot_exists(train_dir, step):
         print(f"snapshot-step{step}-final--0 exists; skipping fit_dlc")
@@ -303,11 +321,42 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
     model, variables = init_model(
         cfg, jax.random.PRNGKey(seed), data.canvas_hw,
         dtype=_dtype(compute_dtype, cfg))
-    variables = _warm_start(variables, cfg, Path(train_dir), snapshot)
+    variables, warmed = _warm_start(variables, cfg, Path(train_dir), snapshot)
+    if bn_train is None:
+        bn_train = not warmed
+    if bn_train:
+        print("fit_dlc: trainable batch-norm enabled (from-scratch mode)")
 
     tx = steps_lib.make_optimizer(steps_lib.piecewise_lr(cfg.multi_step))
     opt_state = tx.init(variables["params"])
-    train_step = steps_lib.make_dlc_train_step(model, cfg, tx)
+
+    from deepgraphpose_tpu.train import device_data as dd
+
+    use_pool = device_data
+    if use_pool is None:
+        use_pool = dd.pool_fits(len(data), *data.canvas_hw)
+    if use_pool:
+        pool = dd.LabeledImagePool(data.items, data.canvas_hw, cfg)
+        if aug:
+            aug_cfg = dd.DeviceAugmentConfig.reference(
+                scale_jitter=((cfg.scale_jitter_lo, cfg.scale_jitter_up)
+                              if jitter else (1.0, 1.0)))
+        elif jitter:
+            aug_cfg = dd.DeviceAugmentConfig.jitter_only(
+                cfg.scale_jitter_lo, cfg.scale_jitter_up)
+        else:
+            aug_cfg = None
+        pooled_step = dd.make_pooled_dlc_train_step(model, cfg, tx, aug_cfg,
+                                                    bn_train=bn_train)
+        print(f"fit_dlc: device-resident pool of {len(data)} images "
+              f"({pool.nbytes / 1e6:.0f} MB in HBM)"
+              + (", full on-device augmentation" if aug else ""))
+    else:
+        if aug:
+            print("warning: fit_dlc(aug=True) needs the device-data pool; "
+                  "falling back to jitter-only host batches")
+        train_step = steps_lib.make_dlc_train_step(model, cfg, tx,
+                                                   bn_train=bn_train)
 
     # mid-step resume from the latest intermediate snapshot (see
     # _fit_dgp_impl; the reference only supports skip-if-final)
@@ -324,26 +373,11 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
         print(f"resuming fit_dlc from {snap_path.name} "
               f"(iteration {start_it})")
 
-    def producer():
-        stream = _index_stream(len(data), bs, deterministic, rng)
-        for it in range(maxiters):
-            idxs = next(stream)
-            if it >= start_it:
-                yield (it, *data.batch(idxs,
-                                       rng=None if deterministic else rng))
-
-    def transfer(item):
-        it, imgs, coords, present = item
-        return (it, jax.device_put(imgs), jax.device_put(coords),
-                jax.device_put(present))
-
     stats, t0 = [], time.time()
     timer = profiling.StepTimer(Path(train_dir) / "steps.jsonl")
     tb = _make_tb_writer(train_dir, tb_log)
-    pf = DevicePrefetcher(producer(), transfer, depth=2)
-    for it, imgs, coords, present in pf:
-        variables, opt_state, out = train_step(
-            variables, opt_state, imgs, coords, present, it)
+
+    def handle(it, out, variables, opt_state):
         if displayiters and it % displayiters == 0:
             # float() is a device sync: attribute the interval's wall time
             # across its steps (per-iteration host timing would only see
@@ -360,6 +394,40 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
         if (saveiters and it > 0 and it % saveiters == 0):
             ckpt_lib.save_snapshot(train_dir, step, it, variables, opt_state,
                                    cfg.max_to_keep)
+
+    if use_pool:
+        import jax.numpy as jnp
+
+        key0 = jax.random.PRNGKey(seed + 1)
+        stream = _index_stream(len(data), bs, deterministic, rng)
+        for it in range(maxiters):
+            idxs = next(stream)
+            if it < start_it:
+                continue
+            variables, opt_state, out = pooled_step(
+                variables, opt_state, pool.images, pool.coords, pool.present,
+                pool.content_wh, jnp.asarray(idxs, jnp.int32),
+                jax.random.fold_in(key0, it), it)
+            handle(it, out, variables, opt_state)
+    else:
+        def producer():
+            stream = _index_stream(len(data), bs, deterministic, rng)
+            for it in range(maxiters):
+                idxs = next(stream)
+                if it >= start_it:
+                    yield (it, *data.batch(idxs,
+                                           rng=None if deterministic else rng))
+
+        def transfer(item):
+            it, imgs, coords, present = item
+            return (it, jax.device_put(imgs), jax.device_put(coords),
+                    jax.device_put(present))
+
+        pf = DevicePrefetcher(producer(), transfer, depth=2)
+        for it, imgs, coords, present in pf:
+            variables, opt_state, out = train_step(
+                variables, opt_state, imgs, coords, present, it)
+            handle(it, out, variables, opt_state)
     timer.close()
     if tb is not None:
         tb.close()
@@ -431,7 +499,9 @@ def fit_dgp_labeledonly(snapshot: str = "snapshot-step0-final--0",
                         nepoch: int = 100, aug: bool = True, seed: int = 0,
                         trainingsetindex: int = 0, compute_dtype=None,
                         resume: bool = True, debug: str = "",
-                        tb_log: bool = False) -> Path | None:
+                        tb_log: bool = False,
+                        bn_train: bool | None = None,
+                        device_data: bool | None = None) -> Path | None:
     """Step 1: DGP objective, visible-frame losses only
     (ref: fitdgp.py:257-546 — one visible frame per iteration)."""
     return _fit_dgp_impl(
@@ -440,7 +510,8 @@ def fit_dgp_labeledonly(snapshot: str = "snapshot-step0-final--0",
         batch_size=1, ns=ns, n_max_frames=n_max_frames, gm2=0, gm3=0,
         nepoch=nepoch, wt=0.0, aug=aug, visible_only=True, seed=seed,
         trainingsetindex=trainingsetindex, compute_dtype=compute_dtype,
-        resume=resume, debug=debug, tb_log=tb_log)
+        resume=resume, debug=debug, tb_log=tb_log, bn_train=bn_train,
+        device_data=device_data)
 
 
 def fit_dgp(snapshot: str = "snapshot-step1-final--0",
@@ -451,8 +522,13 @@ def fit_dgp(snapshot: str = "snapshot-step1-final--0",
             nepoch: int = 100, wt: float = 0.0, aug: bool = True,
             seed: int = 0, trainingsetindex: int = 0, compute_dtype=None,
             resume: bool = True, debug: str = "",
-            tb_log: bool = False) -> Path | None:
-    """Step 2: full semi-supervised DGP (ref: fitdgp.py:549-845)."""
+            tb_log: bool = False,
+            bn_train: bool | None = None,
+            device_data: bool | None = None) -> Path | None:
+    """Step 2: full semi-supervised DGP (ref: fitdgp.py:549-845).
+
+    ``device_data``: keep per-video frame pools in HBM and gather/augment
+    windows on device (None = auto when the pools fit and wt == 0)."""
     return _fit_dgp_impl(
         snapshot=snapshot, dlcpath=dlcpath, shuffle=shuffle, step=step,
         saveiters=saveiters, displayiters=displayiters, maxiters=maxiters,
@@ -460,13 +536,14 @@ def fit_dgp(snapshot: str = "snapshot-step1-final--0",
         gm3=gm3, nepoch=nepoch, wt=wt, aug=aug, visible_only=False,
         seed=seed, trainingsetindex=trainingsetindex,
         compute_dtype=compute_dtype, resume=resume, debug=debug,
-        tb_log=tb_log)
+        tb_log=tb_log, bn_train=bn_train, device_data=device_data)
 
 
 def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
                   maxiters, batch_size, ns, n_max_frames, gm2, gm3, nepoch,
                   wt, aug, visible_only, seed, trainingsetindex,
-                  compute_dtype, resume, debug, tb_log=False) -> Path | None:
+                  compute_dtype, resume, debug, tb_log=False,
+                  bn_train=None, device_data=None) -> Path | None:
     proj, cfg, train_dir = resolve_project(dlcpath, shuffle, trainingsetindex)
     if ckpt_lib.snapshot_exists(train_dir, step, debug):
         print(f"snapshot-step{step}{debug}-final--0 exists; skipping")
@@ -489,13 +566,19 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
     model, variables = init_model(
         cfg, jax.random.PRNGKey(seed), (d0.nx_in, d0.ny_in),
         dtype=_dtype(compute_dtype, cfg))
-    variables = _warm_start(variables, cfg, Path(train_dir), snapshot,
-                            allow_init_weights=False)
+    variables, warmed = _warm_start(variables, cfg, Path(train_dir),
+                                    snapshot, allow_init_weights=False)
+    if bn_train is None:
+        bn_train = not warmed
+    if bn_train:
+        print(f"step {step}: trainable batch-norm enabled "
+              "(from-scratch mode)")
 
     tx = steps_lib.make_optimizer(cfg.lr, momentum=0.9, clip_norm=10.0)
     opt_state = tx.init(variables["params"])
     train_step = steps_lib.make_dgp_train_step(
-        model, loss_params, tx, visible_only=visible_only)
+        model, loss_params, tx, visible_only=visible_only,
+        bn_train=bn_train)
 
     # mid-step resume: continue from the latest intermediate snapshot
     # (variables AND optimizer state) — the reference can only skip-if-final
@@ -514,6 +597,35 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
               f"(iteration {start_it})")
 
     augmenter = Augmenter(apply_prob=0.8) if (aug and wt == 0) else None
+
+    # device-resident frame pools: gather windows in HBM, send only indices
+    # (train/device_data.py). Requires wt == 0 (Farneback flow is host-side,
+    # like the reference). Augmentation then runs on device too.
+    from deepgraphpose_tpu.train import device_data as dd
+
+    use_pool = device_data
+    if use_pool is None:
+        est = sum((len(d.chunk) + len(d.visible_frames)
+                   + len(d.hidden_frames)) * d.nx_in * d.ny_in * 3
+                  for d in mds.datasets)
+        use_pool = (wt == 0) and est <= dd.DEFAULT_POOL_BUDGET_BYTES
+    elif use_pool and wt != 0:
+        print("warning: device_data needs wt == 0 (host-side optical "
+              "flow); falling back to host batches")
+        use_pool = False
+    pools = None
+    if use_pool:
+        pools = [dd.FramePool(d) for d in mds.datasets]
+        total_mb = sum(p.nbytes for p in pools) / 1e6
+        aug_cfg_dev = (dd.DeviceAugmentConfig.reference()
+                       if augmenter is not None else None)
+        augmenter = None
+        pooled_step = dd.make_pooled_dgp_train_step(
+            model, loss_params, tx, aug_cfg_dev, visible_only=visible_only,
+            bn_train=bn_train)
+        print(f"step {step}: device-resident frame pools "
+              f"({total_mb:.0f} MB in HBM)"
+              + (", on-device augmentation" if aug_cfg_dev else ""))
 
     # schedule (ref: gen_batch for step 2; random visible frames for step 1)
     if visible_only:
@@ -538,54 +650,30 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
     n_iters = len(schedule)
     save_every = max(1, int(saveiters / max(batch_size, 1)))
 
-    def producer():
-        for it, (ds_i, frames) in enumerate(schedule):
-            if it < start_it:
-                continue
-            d = mds.datasets[ds_i]
-            vis_set = set(int(f) for f in d.visible_frames)
-            vis = np.array([f for f in frames if int(f) in vis_set], np.int64)
-            hid = np.array([f for f in frames if int(f) not in vis_set],
-                           np.int64)
-            if vis.size == 0 and len(d.visible_frames) > 0:
-                # always anchor a visible frame (ref: fitdgp.py:755-758)
-                vis = np.array([d.visible_frames[
-                    rng.integers(len(d.visible_frames))]])
-            batch = assemble_batch(d, vis, hid, pad_to=pad_to, wt=cfg.wt,
-                                   compute_flow=cfg.wt > 0,
-                                   augmenter=augmenter, rng=rng)
-            yield it, batch
-
-    # when wt == 0 the flow input is identically zero: transfer it once per
-    # frame shape and reuse the device buffer every iteration (full-res
-    # (B-1, H, W) f32 is ~25 MB/iteration at the reference batch size —
-    # pure H2D waste)
-    flow_dev_cache: dict = {}
-
-    def transfer(item):
-        it, b = item
-        flow = None
-        if cfg.wt == 0:
-            key = b.flow.shape
-            if key not in flow_dev_cache:
-                flow_dev_cache[key] = jax.device_put(np.zeros_like(b.flow))
-            flow = flow_dev_cache[key]
-        return it, jax.device_put(b.images), {
-            k: jax.device_put(v) for k, v in b.as_jnp(flow=flow).items()}
+    def split_window(ds_i, frames):
+        """(vis, hid) frame numbers with the visible-frame anchor rule
+        (ref: fitdgp.py:755-758)."""
+        d = mds.datasets[ds_i]
+        vis_set = set(int(f) for f in d.visible_frames)
+        vis = np.array([f for f in frames if int(f) in vis_set], np.int64)
+        hid = np.array([f for f in frames if int(f) not in vis_set],
+                       np.int64)
+        if vis.size == 0 and len(d.visible_frames) > 0:
+            vis = np.array([d.visible_frames[
+                rng.integers(len(d.visible_frames))]])
+        return vis, hid
 
     stats, t0 = [], time.time()
     timer = profiling.StepTimer(Path(train_dir) / "steps.jsonl")
     tb = _make_tb_writer(train_dir, tb_log)
-    pf = DevicePrefetcher(producer(), transfer, depth=2)
     name = "fit_dgp_labeledonly" if visible_only else "fit_dgp"
-    for it, images, batch in pf:
-        variables, opt_state, out = train_step(variables, opt_state, images,
-                                               batch)
+    loss_key = "total_loss_visible" if visible_only else "total_loss"
+
+    def handle(it, out, variables, opt_state):
         if displayiters and it % displayiters == 0:
-            key = "total_loss_visible" if visible_only else "total_loss"
             # float() is a device sync: attribute the interval across steps
             terms = {k: float(v) for k, v in out.items()}
-            loss = terms[key]
+            loss = terms[loss_key]
             timer.interval(it, displayiters, loss=loss)
             if tb is not None:
                 tb.add_scalars(it, {f"loss/{k}": v
@@ -596,6 +684,56 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
         if it > 0 and it % save_every == 0:
             ckpt_lib.save_snapshot(train_dir, step, it, variables, opt_state,
                                    cfg.max_to_keep, debug)
+
+    if use_pool:
+        import jax.numpy as jnp
+
+        key0 = jax.random.PRNGKey(seed + 2)
+        for it, (ds_i, frames) in enumerate(schedule):
+            if it < start_it:
+                continue
+            vis, hid = split_window(ds_i, frames)
+            b = assemble_batch(mds.datasets[ds_i], vis, hid, pad_to=pad_to,
+                               wt=cfg.wt, with_images=False)
+            rows = jnp.asarray(pools[ds_i].rows(b.frames), jnp.int32)
+            variables, opt_state, out = pooled_step(
+                variables, opt_state, pools[ds_i].images, rows, b.as_jnp(),
+                jax.random.fold_in(key0, it))
+            handle(it, out, variables, opt_state)
+    else:
+        def producer():
+            for it, (ds_i, frames) in enumerate(schedule):
+                if it < start_it:
+                    continue
+                vis, hid = split_window(ds_i, frames)
+                batch = assemble_batch(mds.datasets[ds_i], vis, hid,
+                                       pad_to=pad_to, wt=cfg.wt,
+                                       compute_flow=cfg.wt > 0,
+                                       augmenter=augmenter, rng=rng)
+                yield it, batch
+
+        # when wt == 0 the flow input is identically zero: transfer it once
+        # per frame shape and reuse the device buffer every iteration
+        # (full-res (B-1, H, W) f32 is ~25 MB/iteration at the reference
+        # batch size — pure H2D waste)
+        flow_dev_cache: dict = {}
+
+        def transfer(item):
+            it, b = item
+            flow = None
+            if cfg.wt == 0:
+                key = b.flow.shape
+                if key not in flow_dev_cache:
+                    flow_dev_cache[key] = jax.device_put(np.zeros_like(b.flow))
+                flow = flow_dev_cache[key]
+            return it, jax.device_put(b.images), {
+                k: jax.device_put(v) for k, v in b.as_jnp(flow=flow).items()}
+
+        pf = DevicePrefetcher(producer(), transfer, depth=2)
+        for it, images, batch in pf:
+            variables, opt_state, out = train_step(variables, opt_state,
+                                                   images, batch)
+            handle(it, out, variables, opt_state)
     timer.close()
     if tb is not None:
         tb.close()

@@ -87,8 +87,24 @@ def dlc_supervised_loss(heads: dict, coords_xy: jnp.ndarray,
     return out
 
 
-def make_dlc_train_step(model, cfg: PoseConfig, tx: optax.GradientTransformation):
-    """Supervised (step-0) train step: (variables, opt_state, batch) -> ..."""
+def _apply_model(model, p, rest, images, bn_train: bool):
+    """Forward pass; with bn_train, batch-stat BN + updated stats aux."""
+    if bn_train:
+        heads, updated = model.apply({"params": p, **rest}, images,
+                                     train=True, mutable=["batch_stats"])
+        return heads, updated
+    return model.apply({"params": p, **rest}, images), None
+
+
+def make_dlc_train_step(model, cfg: PoseConfig,
+                        tx: optax.GradientTransformation,
+                        bn_train: bool = False):
+    """Supervised (step-0) train step: (variables, opt_state, batch) -> ...
+
+    ``bn_train=True`` normalizes by batch statistics and EWMA-updates the
+    ``batch_stats`` collection each step — the from-scratch mode (the
+    reference always trains with frozen BN from an ImageNet warm start,
+    ref: pose_net.py:52)."""
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(variables, opt_state, images, coords_xy, present, it):
@@ -96,25 +112,30 @@ def make_dlc_train_step(model, cfg: PoseConfig, tx: optax.GradientTransformation
         rest = {k: v for k, v in variables.items() if k != "params"}
 
         def loss_fn(p):
-            heads = model.apply({"params": p, **rest}, images)
+            heads, updated = _apply_model(model, p, rest, images, bn_train)
             out = dlc_supervised_loss(heads, coords_xy, present, cfg)
-            return out["total_loss"], out
+            return out["total_loss"], (out, updated)
 
-        grads, out = jax.grad(loss_fn, has_aux=True)(params)
+        grads, (out, updated) = jax.grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return {"params": params, **rest}, opt_state, out
+        new_vars = {"params": params, **rest}
+        if updated is not None:
+            new_vars["batch_stats"] = updated["batch_stats"]
+        return new_vars, opt_state, out
 
     return step
 
 
 def make_dgp_train_step(model, params_obj: DGPLossParams,
                         tx: optax.GradientTransformation,
-                        visible_only: bool = False):
+                        visible_only: bool = False,
+                        bn_train: bool = False):
     """DGP train step over a fixed-shape masked batch.
 
     visible_only=True optimizes ``total_loss_visible`` (step 1 semantics,
     ref: fitdgp.py:416); False optimizes the full objective (step 2).
+    ``bn_train`` as in :func:`make_dlc_train_step`.
     """
     key = "total_loss_visible" if visible_only else "total_loss"
 
@@ -124,14 +145,17 @@ def make_dgp_train_step(model, params_obj: DGPLossParams,
         rest = {k: v for k, v in variables.items() if k != "params"}
 
         def loss_fn(p):
-            heads = model.apply({"params": p, **rest}, images)
+            heads, updated = _apply_model(model, p, rest, images, bn_train)
             out = dgp_loss(heads["part_pred"], heads["locref"], batch,
                            params_obj)
-            return out[key], out
+            return out[key], (out, updated)
 
-        grads, out = jax.grad(loss_fn, has_aux=True)(params)
+        grads, (out, updated) = jax.grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return {"params": params, **rest}, opt_state, out
+        new_vars = {"params": params, **rest}
+        if updated is not None:
+            new_vars["batch_stats"] = updated["batch_stats"]
+        return new_vars, opt_state, out
 
     return step

@@ -86,6 +86,12 @@ def main(argv=None) -> int:
                     "from-scratch runs (no bundled ImageNet ckpt) need "
                     "larger batches than the reference's warm-started "
                     "batch_size 1")
+    ap.add_argument("--step0_lr", type=float, default=None,
+                    help="override the pose_cfg multi_step schedule with a "
+                    "constant step-0 learning rate")
+    ap.add_argument("--step0_aug", action="store_true",
+                    help="full reference augmentation pipeline during step "
+                    "0 (on-device; recommended for from-scratch runs)")
     ap.add_argument("--wt", type=float, default=0.0)
     ap.add_argument("--out", type=Path, default=REPO_ROOT / "EVAL.md")
     ap.add_argument("--fresh", action="store_true",
@@ -102,12 +108,15 @@ def main(argv=None) -> int:
     args.workdir.mkdir(parents=True, exist_ok=True)
     proj_dir = make_workdir(args.workdir, fresh=args.fresh)
     _, _, train_dir = resolve_project(proj_dir, shuffle=1)
-    if args.step0_batch is not None:
+    if args.step0_batch is not None or args.step0_lr is not None:
         import yaml
 
         pc = Path(train_dir) / "pose_cfg.yaml"
         raw = yaml.safe_load(pc.read_text())
-        raw["batch_size"] = args.step0_batch
+        if args.step0_batch is not None:
+            raw["batch_size"] = args.step0_batch
+        if args.step0_lr is not None:
+            raw["multi_step"] = [[args.step0_lr, 10**9]]
         pc.write_text(yaml.safe_dump(raw, sort_keys=False))
     platform = jax.devices()[0].platform
     it0, it1, it2 = args.iters
@@ -116,7 +125,7 @@ def main(argv=None) -> int:
     t0 = time.time()
     print(f"=== step 0: fit_dlc ({it0} iters) ===", flush=True)
     fit_dlc(dlcpath=proj_dir, maxiters=it0, displayiters=max(it0 // 20, 1),
-            saveiters=max(it0 // 2, 1))
+            saveiters=max(it0 // 10, 1), aug=args.step0_aug)
     timings["step0_s"] = round(time.time() - t0, 1)
 
     t0 = time.time()
@@ -153,7 +162,8 @@ def main(argv=None) -> int:
     stamp = time.strftime("%Y-%m-%d %H:%M")
     record = dict(date=stamp, platform=platform,
                   iters=[it0, it1, it2], batch_size=args.batch_size,
-                  step0_batch=args.step0_batch,
+                  step0_batch=args.step0_batch, step0_lr=args.step0_lr,
+                  step0_aug=bool(args.step0_aug),
                   wt=args.wt, timings=timings, results=rows)
     json_path = args.out.with_suffix(".json")
     history = []
@@ -168,6 +178,8 @@ def main(argv=None) -> int:
         "",
         f"Pipeline: fit_dlc {it0} iters"
         + (f" (batch {args.step0_batch})" if args.step0_batch else "")
+        + (f" (lr {args.step0_lr})" if args.step0_lr else "")
+        + (" (full on-device aug)" if args.step0_aug else "")
         + f" -> fit_dgp_labeledonly {it1} -> "
         f"fit_dgp {it2} (batch_size={args.batch_size}, wt={args.wt}); "
         f"wall-clock {timings['step0_s']}/{timings['step1_s']}/"

@@ -1,0 +1,137 @@
+"""Device-resident data pools (train/device_data.py): pool-vs-host
+equivalence of the fit entry points, pooled-step semantics."""
+
+import os
+import shutil
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from deepgraphpose_tpu.core import checkpoint as ckpt_lib  # noqa: E402
+from deepgraphpose_tpu.train import device_data as dd  # noqa: E402
+from deepgraphpose_tpu.train.fit import (fit_dgp, fit_dlc,  # noqa: E402
+                                         resolve_project)
+
+
+def _make_proj(tmp_path, name, deterministic=False):
+    from conftest import make_synthetic_project
+
+    root = str(tmp_path / name)
+    make_synthetic_project(root, n_frames=12, n_labeled=3, hw=(48, 64))
+    cfg_path = Path(root, "dlc-models/iteration-0/"
+                    "SynthJan1-trainset95shuffle1", "train", "pose_cfg.yaml")
+    raw = yaml.safe_load(cfg_path.read_text())
+    raw["net_type"] = "mobilenet_v2_0.35"
+    raw["multi_step"] = [[0.002, 100000]]
+    if deterministic:
+        raw["dataset_type"] = "deterministic"
+    cfg_path.write_text(yaml.safe_dump(raw))
+    return root
+
+
+def _final_params(root, step):
+    _, _, train_dir = resolve_project(root, 1)
+    snap = Path(train_dir) / f"snapshot-step{step}-final--0.ckpt"
+    assert snap.exists()
+    from deepgraphpose_tpu.core.checkpoint import load_snapshot
+
+    variables, _ = load_snapshot(snap, None, None)
+    return jax.tree_util.tree_leaves(variables["params"])
+
+
+def test_pool_fits_budget():
+    assert dd.pool_fits(52, 747, 832)
+    assert not dd.pool_fits(100000, 747, 832)
+
+
+def test_fit_dlc_pool_matches_host_exactly(tmp_path):
+    """With the deterministic loader (no jitter, fixed order), the pooled
+    path must reproduce the host path bit-for-bit: same batches, same
+    init, same optimizer -> same final parameters."""
+    params = {}
+    for mode in (True, False):
+        root = _make_proj(tmp_path, f"p{mode}", deterministic=True)
+        snap = fit_dlc(dlcpath=root, maxiters=3, displayiters=1,
+                       saveiters=100, device_data=mode, bn_train=False)
+        assert snap is not None
+        params[mode] = _final_params(root, 0)
+    for a, b in zip(params[True], params[False]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_fit_dgp_pool_matches_host_exactly(tmp_path):
+    """aug=False DGP: the pooled path gathers the same frames the host path
+    decodes, so the trained parameters must match."""
+    params = {}
+    for mode in (True, False):
+        root = _make_proj(tmp_path, f"g{mode}")
+        # provide a warm-start so both runs share the same step-0 snapshot
+        snap0 = fit_dlc(dlcpath=root, maxiters=2, displayiters=1,
+                        saveiters=100, device_data=True, bn_train=False,
+                        jitter=False)
+        assert snap0 is not None
+        snap2 = fit_dgp(dlcpath=root, batch_size=3, maxiters=3,
+                        displayiters=1, saveiters=100, ns=2, n_max_frames=10,
+                        nepoch=1, aug=False, device_data=mode,
+                        bn_train=False)
+        assert snap2 is not None
+        params[mode] = _final_params(root, 2)
+    for a, b in zip(params[True], params[False]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_fit_dgp_pool_with_device_aug_smoke(tmp_path):
+    """aug=True in pool mode runs the on-device augmentation pipeline
+    inside the jitted step; losses stay finite and a snapshot lands."""
+    root = _make_proj(tmp_path, "aug")
+    snap0 = fit_dlc(dlcpath=root, maxiters=2, displayiters=1, saveiters=100,
+                    bn_train=False, jitter=False)
+    snap2 = fit_dgp(dlcpath=root, batch_size=3, maxiters=3, displayiters=1,
+                    saveiters=100, ns=2, n_max_frames=10, nepoch=1,
+                    aug=True, device_data=True, bn_train=False)
+    assert snap2 is not None and snap2.exists()
+
+
+def test_fit_dlc_from_scratch_full_aug_smoke(tmp_path):
+    """The from-scratch recipe: bn_train auto-on (no warm start), device
+    pool, full reference augmentation on device."""
+    root = _make_proj(tmp_path, "scratch")
+    snap = fit_dlc(dlcpath=root, maxiters=3, displayiters=1, saveiters=100,
+                   device_data=True, aug=True)
+    assert snap is not None and snap.exists()
+    # bn stats must have moved away from the (0, 1) init somewhere
+    from deepgraphpose_tpu.core.checkpoint import load_snapshot
+
+    variables, _ = load_snapshot(snap, None, None)
+    means = [np.asarray(v) for k, v in
+             jax.tree_util.tree_flatten_with_path(
+                 variables["batch_stats"])[0] if "mean" in str(k)]
+    assert any(np.abs(m).max() > 1e-6 for m in means)
+
+
+def test_frame_pool_rows_and_gather(tmp_path):
+    from deepgraphpose_tpu.data.batcher import MultiDataset
+    from deepgraphpose_tpu.train.fit import dgp_video_sets
+
+    root = _make_proj(tmp_path, "rows")
+    proj, cfg, _ = resolve_project(root, 1)
+    mds = MultiDataset(proj, cfg, dgp_video_sets(proj, root), ns=2,
+                       n_max_frames=10)
+    d = mds.datasets[0]
+    pool = dd.FramePool(d)
+    # pool rows round-trip: gather by row returns the cached frame
+    some = d.chunk[:3]
+    rows = pool.rows(some)
+    got = np.asarray(jnp.take(pool.images, jnp.asarray(rows), axis=0))
+    want = d.get_frames(some)
+    np.testing.assert_array_equal(got, want)
+    # padding frame number -1 maps to row 0 (masked downstream)
+    assert pool.rows([-1])[0] == 0

@@ -150,3 +150,72 @@ def test_mobilenet_dgp_train_step():
         pair_mask=jnp.ones(t - 1), flow=jnp.zeros((t - 1, 32, 32)))
     variables, opt_state, out = step(variables, opt_state, imgs, batch)
     assert np.isfinite(float(out["total_loss"]))
+
+
+def test_bn_train_mode_updates_stats_and_learns():
+    """bn_train=True normalizes by batch stats and EWMA-updates the
+    batch_stats collection; eval-mode forward then uses the updated moving
+    stats (the from-scratch extension — the reference always freezes BN)."""
+    from deepgraphpose_tpu.train import steps as steps_lib
+
+    cfg = _cfg(net_type="mobilenet_v2_0.35")
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (32, 32))
+    stats0 = jax.tree_util.tree_map(np.array, variables["batch_stats"])
+
+    tx = steps_lib.make_optimizer(0.005)
+    opt_state = tx.init(variables["params"])
+    step = steps_lib.make_dlc_train_step(model, cfg, tx, bn_train=True)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(2, 28, (2, cfg.num_joints, 2)),
+                         jnp.float32)
+    present = jnp.ones((2, cfg.num_joints), bool)
+    variables, opt_state, out = step(variables, opt_state, imgs, coords,
+                                     present, 0)
+    assert np.isfinite(float(out["total_loss"]))
+    stats1 = jax.tree_util.tree_map(np.array, variables["batch_stats"])
+    leaves0 = jax.tree_util.tree_leaves(stats0)
+    leaves1 = jax.tree_util.tree_leaves(stats1)
+    assert any(not np.allclose(a, b) for a, b in zip(leaves0, leaves1)), \
+        "batch_stats were not updated by the bn_train step"
+    # eval-mode forward with the updated stats stays finite and is the
+    # frozen path (no further stat mutation required)
+    heads = model.apply(variables, imgs)
+    assert np.all(np.isfinite(np.asarray(heads["part_pred"])))
+
+
+def test_bn_train_dgp_step_updates_stats():
+    from deepgraphpose_tpu.ops.dgp_objective import DGPLossParams
+    from deepgraphpose_tpu.train import steps as steps_lib
+
+    cfg = _cfg(net_type="mobilenet_v2_0.35")
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (32, 32))
+    nj = cfg.num_joints
+    lp = DGPLossParams(
+        nj=nj, stride=8.0, gamma=1.0, gauss_len=1.0, lengthscale=1.0,
+        pos_dist_thresh=9, locref_stdev=7.2801, locref_loss_weight=0.05,
+        locref_huber_loss=True, wn_visible=5.0, wn_hidden=3.0, wt=0.0,
+        wt_max=0.0, gm2=0, gm3=0, n_visible_frames_total=4.0,
+        n_hidden_frames_total=8.0,
+        S0=np.zeros((0, nj), np.float32),
+        ws=np.zeros((0,), np.float32), ws_max=np.zeros((0,), np.float32))
+    tx = steps_lib.make_optimizer(0.005, clip_norm=10.0)
+    opt_state = tx.init(variables["params"])
+    step = steps_lib.make_dgp_train_step(model, lp, tx, bn_train=True)
+    stats0 = jax.tree_util.tree_map(np.array, variables["batch_stats"])
+    rng = np.random.default_rng(0)
+    t = 2
+    imgs = jnp.asarray(rng.uniform(0, 255, (t, 32, 32, 3)), jnp.float32)
+    vis = np.zeros(t * nj, np.float32)
+    vis[:nj] = 1
+    batch = dict(
+        targets=jnp.asarray(rng.uniform(0, 3, (t, nj, 2)), jnp.float32),
+        visible_mask=jnp.asarray(vis), hidden_mask=jnp.asarray(1 - vis),
+        frame_mask=jnp.ones(t), wt_batch=jnp.zeros(t - 1),
+        pair_mask=jnp.ones(t - 1), flow=jnp.zeros((t - 1, 32, 32)))
+    variables, opt_state, out = step(variables, opt_state, imgs, batch)
+    assert np.isfinite(float(out["total_loss"]))
+    stats1 = jax.tree_util.tree_map(np.array, variables["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in
+               zip(jax.tree_util.tree_leaves(stats0),
+                   jax.tree_util.tree_leaves(stats1)))
