@@ -64,6 +64,60 @@ def make_dp_dgp_train_step(model, params_obj: DGPLossParams,
     return step
 
 
+def make_dp_pooled_dgp_train_step(model, params_obj: DGPLossParams,
+                                  tx: optax.GradientTransformation, mesh,
+                                  aug_cfg=None, visible_only: bool = False):
+    """DP train step over a replicated HBM frame pool.
+
+    Composes train/device_data.py's pool design with data parallelism: the
+    pool (N,H,W,3 uint8) is replicated over the mesh, per-window frame rows
+    (G,T) and the small batch tensors shard over the data axis, and each
+    device gathers + (optionally) augments its windows locally — the
+    per-step host->device traffic is G*T row indices and a PRNG key.
+    Batch-norm stays frozen here (DP is the warm-started regime; the
+    from-scratch ``bn_train`` bootstrap is single-device step 0).
+
+    step(variables, opt_state, pool, rows (G,T) int32, batch (G-leading
+    pytree), keys (G,2) uint32) -> (variables, opt_state, mean-out).
+    """
+    from deepgraphpose_tpu.train.device_data import augment_dgp_window
+
+    key = "total_loss_visible" if visible_only else "total_loss"
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+
+    def window_loss(params, rest, pool, rows, batch, k):
+        images = jnp.take(pool, rows, axis=0)
+        if aug_cfg is not None:
+            images, batch = augment_dgp_window(
+                k, images, batch, aug_cfg, params_obj.stride, params_obj.nj)
+        heads = model.apply({"params": params, **rest}, images)
+        out = dgp_loss(heads["part_pred"], heads["locref"], batch, params_obj)
+        return out[key], out
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, repl, repl, shard, shard, shard),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1))
+    def step(variables, opt_state, pool, rows, batch, keys):
+        params = variables["params"]
+        rest = {k: v for k, v in variables.items() if k != "params"}
+
+        def mean_loss(p):
+            losses, outs = jax.vmap(
+                lambda r, b, k: window_loss(p, rest, pool, r, b, k))(
+                    rows, batch, keys)
+            return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, outs)
+
+        grads, out = jax.grad(mean_loss, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return {"params": params, **rest}, opt_state, out
+
+    return step
+
+
 def make_dp_infer_fn(model, cfg, mesh):
     """Sharded batched inference: frames sharded over the data axis.
 

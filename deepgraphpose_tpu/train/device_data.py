@@ -162,6 +162,33 @@ class FramePool:
         return int(self.images.size)
 
 
+def augment_dgp_window(key, images, batch: dict, aug_cfg: DeviceAugmentConfig,
+                       stride: float, nj: int):
+    """On-device augmentation of one DGP window (visible frames only,
+    matching ref: fitdgp.py:779): rewrites images, targets and the
+    visible/hidden masks — joints pushed off-canvas flip from visible to
+    hidden, exactly as the host path's NaN bookkeeping does."""
+    b = images.shape[0]
+    vis_m = batch["visible_mask"].reshape(b, nj)
+    frame_gate = (jnp.max(vis_m, axis=1) > 0).astype(jnp.float32)
+    rc = batch["targets"]
+    xy = jnp.stack([rc[..., 1] * stride + stride / 2.0,
+                    rc[..., 0] * stride + stride / 2.0], axis=-1)
+    images, xy, vis_new = augment_batch(
+        key, images, xy, vis_m, aug_cfg, gate=frame_gate)
+    rc_new = jnp.stack([(xy[..., 1] - stride / 2.0) / stride,
+                        (xy[..., 0] - stride / 2.0) / stride], axis=-1)
+    gated = frame_gate[:, None] > 0
+    targets = jnp.where(gated[..., None], rc_new, rc)
+    visible_mask = jnp.where(gated, vis_new, vis_m)
+    hid_m = batch["hidden_mask"].reshape(b, nj)
+    hidden_mask = jnp.where(gated & (vis_m > 0) & (visible_mask <= 0),
+                            1.0, hid_m)
+    return images, dict(batch, targets=targets,
+                        visible_mask=visible_mask.reshape(-1),
+                        hidden_mask=hidden_mask.reshape(-1))
+
+
 def make_pooled_dgp_train_step(model, params_obj: DGPLossParams,
                                tx: optax.GradientTransformation,
                                aug_cfg: DeviceAugmentConfig | None,
@@ -170,10 +197,8 @@ def make_pooled_dgp_train_step(model, params_obj: DGPLossParams,
     """DGP train step gathering its window from a FramePool.
 
     step(variables, opt_state, pool_images, rows, batch, key). ``batch`` is
-    the small-tensor dict from DGPBatch.as_jnp(); augmentation (visible
-    frames only, matching ref: fitdgp.py:779) rewrites targets and the
-    visible/hidden masks on device: joints pushed off-canvas flip from
-    visible to hidden, exactly as the host path's NaN bookkeeping does.
+    the small-tensor dict from DGPBatch.as_jnp(); see
+    :func:`augment_dgp_window` for the on-device augmentation semantics.
     """
     key_name = "total_loss_visible" if visible_only else "total_loss"
     stride = params_obj.stride
@@ -183,27 +208,8 @@ def make_pooled_dgp_train_step(model, params_obj: DGPLossParams,
     def step(variables, opt_state, pool_images, rows, batch, key):
         images = jnp.take(pool_images, rows, axis=0)
         if aug_cfg is not None:
-            b = images.shape[0]
-            vis_m = batch["visible_mask"].reshape(b, nj)
-            frame_gate = (jnp.max(vis_m, axis=1) > 0).astype(jnp.float32)
-            rc = batch["targets"]
-            xy = jnp.stack([rc[..., 1] * stride + stride / 2.0,
-                            rc[..., 0] * stride + stride / 2.0], axis=-1)
-            images, xy, vis_new = augment_batch(
-                key, images, xy, vis_m, aug_cfg, gate=frame_gate)
-            rc_new = jnp.stack([(xy[..., 1] - stride / 2.0) / stride,
-                                (xy[..., 0] - stride / 2.0) / stride],
-                               axis=-1)
-            gated = frame_gate[:, None] > 0
-            targets = jnp.where(gated[..., None], rc_new, rc)
-            visible_mask = jnp.where(gated, vis_new, vis_m)
-            # a visible joint augmented off-canvas becomes a hidden marker
-            hid_m = batch["hidden_mask"].reshape(b, nj)
-            hidden_mask = jnp.where(gated & (vis_m > 0) & (visible_mask <= 0),
-                                    1.0, hid_m)
-            batch = dict(batch, targets=targets,
-                         visible_mask=visible_mask.reshape(-1),
-                         hidden_mask=hidden_mask.reshape(-1))
+            images, batch = augment_dgp_window(key, images, batch, aug_cfg,
+                                               stride, nj)
 
         params = variables["params"]
         rest = {k: v for k, v in variables.items() if k != "params"}
