@@ -453,22 +453,26 @@ def _dtype(compute_dtype, cfg: PoseConfig):
 
 def _dgp_cfg_overrides(cfg: PoseConfig, step: int, batch_size: int,
                        wt: float, gm2: int, gm3: int, nepoch: int,
-                       aug: bool) -> PoseConfig:
+                       aug: bool, lr: float | None = None) -> PoseConfig:
     """DGP hyperparameters injected in code by the reference.
 
     step 1 (ref: fitdgp.py:343-359): clique terms off, visible-only loss.
     step 2 (ref: fitdgp.py:637-654): ws=1000, wn_v=5, wn_h=3, etc.
+    ``lr=None`` keeps the reference's hard-coded 0.005 (fitdgp.py:353, 650)
+    — tuned for ImageNet-warm-started models; from-scratch step-0 models
+    need a gentler rate (see EVAL.md).
     """
+    lr = 0.005 if lr is None else lr
     if step == 1:
         return cfg.replace(ws=0.0, ws_max=1.2, wt=0.0, wt_max=0.0,
                            wn_visible=1.0, wn_hidden=0.0, gamma=1.0,
                            gauss_len=1.0, lengthscale=1.0, batch_size=1,
-                           lr=0.005, gm2=0, gm3=0, aug=aug,
+                           lr=lr, gm2=0, gm3=0, aug=aug,
                            n_times_all_frames=nepoch)
     return cfg.replace(ws=1000.0, ws_max=1.2, wt=wt, wt_max=0.0,
                        wn_visible=5.0, wn_hidden=3.0, gamma=1.0,
                        gauss_len=1.0, lengthscale=1.0, batch_size=batch_size,
-                       lr=0.005, gm2=gm2, gm3=gm3, aug=aug,
+                       lr=lr, gm2=gm2, gm3=gm3, aug=aug,
                        n_times_all_frames=nepoch)
 
 
@@ -501,7 +505,8 @@ def fit_dgp_labeledonly(snapshot: str = "snapshot-step0-final--0",
                         resume: bool = True, debug: str = "",
                         tb_log: bool = False,
                         bn_train: bool | None = None,
-                        device_data: bool | None = None) -> Path | None:
+                        device_data: bool | None = None,
+                        lr: float | None = None) -> Path | None:
     """Step 1: DGP objective, visible-frame losses only
     (ref: fitdgp.py:257-546 — one visible frame per iteration)."""
     return _fit_dgp_impl(
@@ -511,7 +516,7 @@ def fit_dgp_labeledonly(snapshot: str = "snapshot-step0-final--0",
         nepoch=nepoch, wt=0.0, aug=aug, visible_only=True, seed=seed,
         trainingsetindex=trainingsetindex, compute_dtype=compute_dtype,
         resume=resume, debug=debug, tb_log=tb_log, bn_train=bn_train,
-        device_data=device_data)
+        device_data=device_data, lr=lr)
 
 
 def fit_dgp(snapshot: str = "snapshot-step1-final--0",
@@ -524,7 +529,8 @@ def fit_dgp(snapshot: str = "snapshot-step1-final--0",
             resume: bool = True, debug: str = "",
             tb_log: bool = False,
             bn_train: bool | None = None,
-            device_data: bool | None = None) -> Path | None:
+            device_data: bool | None = None,
+            lr: float | None = None) -> Path | None:
     """Step 2: full semi-supervised DGP (ref: fitdgp.py:549-845).
 
     ``device_data``: keep per-video frame pools in HBM and gather/augment
@@ -536,21 +542,21 @@ def fit_dgp(snapshot: str = "snapshot-step1-final--0",
         gm3=gm3, nepoch=nepoch, wt=wt, aug=aug, visible_only=False,
         seed=seed, trainingsetindex=trainingsetindex,
         compute_dtype=compute_dtype, resume=resume, debug=debug,
-        tb_log=tb_log, bn_train=bn_train, device_data=device_data)
+        tb_log=tb_log, bn_train=bn_train, device_data=device_data, lr=lr)
 
 
 def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
                   maxiters, batch_size, ns, n_max_frames, gm2, gm3, nepoch,
                   wt, aug, visible_only, seed, trainingsetindex,
                   compute_dtype, resume, debug, tb_log=False,
-                  bn_train=None, device_data=None) -> Path | None:
+                  bn_train=None, device_data=None, lr=None) -> Path | None:
     proj, cfg, train_dir = resolve_project(dlcpath, shuffle, trainingsetindex)
     if ckpt_lib.snapshot_exists(train_dir, step, debug):
         print(f"snapshot-step{step}{debug}-final--0 exists; skipping")
         return ckpt_lib.latest_snapshot(train_dir, step, debug)
 
     cfg = _dgp_cfg_overrides(cfg, step if not visible_only else 1,
-                             batch_size, wt, gm2, gm3, nepoch, aug)
+                             batch_size, wt, gm2, gm3, nepoch, aug, lr=lr)
     S0 = proj.skeleton_incidence()
     video_sets = dgp_video_sets(proj, dlcpath)
     mds = MultiDataset(proj, cfg, video_sets, ns=ns,

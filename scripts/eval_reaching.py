@@ -92,6 +92,10 @@ def main(argv=None) -> int:
     ap.add_argument("--step0_aug", action="store_true",
                     help="full reference augmentation pipeline during step "
                     "0 (on-device; recommended for from-scratch runs)")
+    ap.add_argument("--dgp_lr", type=float, default=None,
+                    help="learning rate for steps 1-2 (default: the "
+                    "reference's 0.005, tuned for warm-started models; "
+                    "from-scratch step-0 models need ~5e-5, see EVAL.md)")
     ap.add_argument("--wt", type=float, default=0.0)
     ap.add_argument("--out", type=Path, default=REPO_ROOT / "EVAL.md")
     ap.add_argument("--fresh", action="store_true",
@@ -132,7 +136,7 @@ def main(argv=None) -> int:
     print(f"=== step 1: fit_dgp_labeledonly ({it1} iters) ===", flush=True)
     fit_dgp_labeledonly(snapshot="snapshot-step0-final--0", dlcpath=proj_dir,
                         maxiters=it1, displayiters=max(it1 // 20, 1),
-                        saveiters=max(it1 // 2, 1))
+                        saveiters=max(it1 // 2, 1), lr=args.dgp_lr)
     timings["step1_s"] = round(time.time() - t0, 1)
 
     t0 = time.time()
@@ -140,7 +144,7 @@ def main(argv=None) -> int:
     fit_dgp(snapshot="snapshot-step1-final--0", dlcpath=proj_dir,
             batch_size=args.batch_size, maxiters=it2,
             displayiters=max(it2 // 20, 1), saveiters=max(it2 // 2, 1),
-            wt=args.wt)
+            wt=args.wt, lr=args.dgp_lr)
     timings["step2_s"] = round(time.time() - t0, 1)
 
     rows = []
@@ -163,7 +167,7 @@ def main(argv=None) -> int:
     record = dict(date=stamp, platform=platform,
                   iters=[it0, it1, it2], batch_size=args.batch_size,
                   step0_batch=args.step0_batch, step0_lr=args.step0_lr,
-                  step0_aug=bool(args.step0_aug),
+                  step0_aug=bool(args.step0_aug), dgp_lr=args.dgp_lr,
                   wt=args.wt, timings=timings, results=rows)
     json_path = args.out.with_suffix(".json")
     history = []
@@ -181,7 +185,8 @@ def main(argv=None) -> int:
         + (f" (lr {args.step0_lr})" if args.step0_lr else "")
         + (" (full on-device aug)" if args.step0_aug else "")
         + f" -> fit_dgp_labeledonly {it1} -> "
-        f"fit_dgp {it2} (batch_size={args.batch_size}, wt={args.wt}); "
+        f"fit_dgp {it2} (batch_size={args.batch_size}, wt={args.wt}"
+        + (f", dgp_lr={args.dgp_lr}" if args.dgp_lr else "") + "); "
         f"wall-clock {timings['step0_s']}/{timings['step1_s']}/"
         f"{timings['step2_s']} s per step. "
         "RMSE vs human labels (pixels, full 747x832 resolution), "
