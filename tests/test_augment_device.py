@@ -116,3 +116,78 @@ def test_reference_pipeline_smoke_jits():
     # different keys give different augmentations
     out2, _, _ = fn(jax.random.PRNGKey(7), imgs, coords, present)
     assert not np.allclose(out, np.asarray(out2))
+
+
+def test_fast_warp_matches_gather_path():
+    """The multi-pass stencil warp (fast_warp=True, the default) matches
+    the one-shot per-pixel gather on smooth content: identical keypoint
+    transforms (shared parameter draws) and close images (multi-pass
+    resampling only softens edges)."""
+    import dataclasses
+
+    # smooth synthetic content: broad gaussian blobs
+    b, h, w = 3, 40, 48
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = np.zeros((b, h, w, 3), np.float32)
+    for i in range(b):
+        cx, cy = 10 + 12 * i, 14 + 6 * i
+        img[i] = (200 * np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2)
+                               / (2 * 8.0 ** 2)))[..., None]
+    imgs = jnp.asarray(img)
+    coords = jnp.asarray(
+        np.stack([np.full((b,), 12.0), np.full((b,), 15.0)], -1)[:, None, :])
+    present = jnp.ones((b, 1), np.float32)
+
+    for elastic, mean_tol in ((0.0, 1.5), (5.0, 5.0)):
+        # elastic measures its displacement in post-affine coords on the
+        # fast path vs pre-affine on the gather path (documented); compare
+        # strictly with it off, loosely with it on
+        base = DeviceAugmentConfig(apply_prob=1.0, scale_jitter=(0.8, 1.2),
+                                   flip=True, rotate_deg=10.0,
+                                   crop_pad_prob=0.4, elastic_alpha=elastic,
+                                   motion_blur=False,
+                                   dropout_frac=(0.0, 0.0), noise_scale=0.0)
+        outs = {}
+        for fast in (True, False):
+            cfg = dataclasses.replace(base, fast_warp=fast)
+            outs[fast] = augment_batch(jax.random.PRNGKey(11), imgs, coords,
+                                       present, cfg)
+        # keypoints + presence: identical (same parameter draws, same math)
+        np.testing.assert_allclose(np.asarray(outs[True][1]),
+                                   np.asarray(outs[False][1]), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(outs[True][2]),
+                                      np.asarray(outs[False][2]))
+        a = np.asarray(outs[True][0])
+        bimg = np.asarray(outs[False][0])
+        # images: same warp up to resampling softness (peak intensity 200)
+        assert np.mean(np.abs(a - bimg)) < mean_tol, \
+            (elastic, np.mean(np.abs(a - bimg)))
+
+
+def test_fast_warp_rotation_moves_content_with_coords():
+    """Rotation-only fast warp: the content under a keypoint follows the
+    keypoint (catches shear sign/composition errors)."""
+    b, h, w = 4, 41, 41
+    img = np.zeros((b, h, w, 3), np.float32)
+    img[:, 8:13, 28:33] = 255.0              # blob away from the center
+    coords = jnp.asarray(np.tile([[30.0, 10.0]], (b, 1))[:, None, :])
+    present = jnp.ones((b, 1), np.float32)
+    cfg = DeviceAugmentConfig(apply_prob=1.0, scale_jitter=(1.0, 1.0),
+                              flip=False, rotate_deg=10.0,
+                              crop_pad_prob=0.0, elastic_alpha=0.0,
+                              motion_blur=False, dropout_frac=(0.0, 0.0),
+                              noise_scale=0.0)
+    out, kp, _ = augment_batch(jax.random.PRNGKey(3), jnp.asarray(img),
+                               coords, present, cfg)
+    out = np.asarray(out)
+    kp = np.asarray(kp)
+    rotated = False
+    for i in range(b):
+        x, y = kp[i, 0]
+        if abs(x - 30.0) > 0.5 or abs(y - 10.0) > 0.5:
+            rotated = True
+        x0, x1 = int(max(x - 4, 0)), int(min(x + 5, w))
+        y0, y1 = int(max(y - 4, 0)), int(min(y + 5, h))
+        assert out[i, y0:y1, x0:x1].max() > 150, (i, x, y)
+        # and the old location is (mostly) vacated when rotated
+    assert rotated
