@@ -23,6 +23,9 @@ Modes (BENCH_MODE):
   train   — full DGP train-step throughput (fwd+bwd+optimizer). Its
       vs_baseline is relative to this repo's own round-1 measurement
       (113 ms/step, PERF.md) — the reference has no published number.
+      BENCH_TRAIN_AUG=1 benches the production configuration instead:
+      HBM frame pool gather + full on-device augmentation (fast warp)
+      fused into the same step (train/device_data.py).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
@@ -247,11 +250,9 @@ def bench_train_step(cfg, model, variables, h, w, net_type, dtype_name):
         ws=np.full(2, 0.5, np.float32), ws_max=np.full(2, 100.0, np.float32))
     tx = steps_lib.make_optimizer(0.005, clip_norm=10.0)
     opt_state = tx.init(variables["params"])
-    step = steps_lib.make_dgp_train_step(model, lp, tx)
+    with_aug = os.environ.get("BENCH_TRAIN_AUG", "") == "1"
 
     rng = np.random.default_rng(0)
-    imgs = jax.device_put(jnp.asarray(rng.uniform(0, 255, (t, h, w, 3)),
-                                      jnp.float32))
     vis = np.zeros(t * nj, np.float32)
     vis[:2 * nj] = 1
     batch = {k: jax.device_put(v) for k, v in dict(
@@ -261,22 +262,46 @@ def bench_train_step(cfg, model, variables, h, w, net_type, dtype_name):
         frame_mask=jnp.ones(t), wt_batch=jnp.zeros(t - 1),
         pair_mask=jnp.ones(t - 1), flow=jnp.zeros((t - 1, 8, 8))).items()}
 
-    variables, opt_state, out = step(variables, opt_state, imgs, batch)
+    if with_aug:
+        from deepgraphpose_tpu.ops.augment_device import DeviceAugmentConfig
+        from deepgraphpose_tpu.train import device_data as dd
+
+        pool = jax.device_put(rng.integers(0, 255, (64, h, w, 3),
+                                           dtype=np.uint8))
+        rows = jax.device_put(np.arange(t, dtype=np.int32))
+        pooled = dd.make_pooled_dgp_train_step(
+            model, lp, tx, DeviceAugmentConfig.reference())
+        key = jax.random.PRNGKey(0)
+
+        def step(variables, opt_state, it):
+            return pooled(variables, opt_state, pool, rows, dict(batch),
+                          jax.random.fold_in(key, it))
+    else:
+        imgs = jax.device_put(jnp.asarray(
+            rng.uniform(0, 255, (t, h, w, 3)), jnp.float32))
+        plain = steps_lib.make_dgp_train_step(model, lp, tx)
+
+        def step(variables, opt_state, it):
+            return plain(variables, opt_state, imgs, batch)
+
+    variables, opt_state, out = step(variables, opt_state, 0)
     _ = float(out["total_loss"])  # warmup + sync
     reps = int(os.environ.get("BENCH_REPS", 3))
     n_iter = 10
     best = 0.0
-    for _ in range(max(reps, 1)):
+    for r in range(max(reps, 1)):
         t0 = time.perf_counter()
-        for _ in range(n_iter):
-            variables, opt_state, out = step(variables, opt_state, imgs,
-                                             batch)
+        for i in range(n_iter):
+            variables, opt_state, out = step(variables, opt_state,
+                                             r * n_iter + i)
         loss = float(out["total_loss"])  # sync
         dt = (time.perf_counter() - t0) / n_iter
         best = max(best, 1.0 / dt)
         assert np.isfinite(loss)
+    suffix = "_poolaug" if with_aug else ""
     print(json.dumps({
-        "metric": f"dgp_train_step_{net_type}_{t}x{h}x{w}_{dtype_name}",
+        "metric": f"dgp_train_step_{net_type}_{t}x{h}x{w}_{dtype_name}"
+                  f"{suffix}",
         "value": round(best, 2), "unit": "iterations/sec/chip",
         "vs_baseline": round(best * t / 113.0, 3),
         "baseline": "self-relative: this repo's round-1 measurement "
