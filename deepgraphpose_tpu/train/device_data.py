@@ -193,12 +193,19 @@ def make_pooled_dgp_train_step(model, params_obj: DGPLossParams,
                                tx: optax.GradientTransformation,
                                aug_cfg: DeviceAugmentConfig | None,
                                visible_only: bool = False,
-                               bn_train: bool = False):
+                               bn_train: bool = False,
+                               device_flow: bool = False):
     """DGP train step gathering its window from a FramePool.
 
     step(variables, opt_state, pool_images, rows, batch, key). ``batch`` is
     the small-tensor dict from DGPBatch.as_jnp(); see
     :func:`augment_dgp_window` for the on-device augmentation semantics.
+
+    ``device_flow=True`` computes the temporal-clique flow magnitudes on
+    device from the gathered frames (ops/flow_device.py pyramidal LK) so
+    wt > 0 training needs no host Farneback round trip — pair it with
+    aug_cfg=None, matching the reference's aug-off-when-wt>0 gate
+    (ref: fitdgp.py:777-779).
     """
     key_name = "total_loss_visible" if visible_only else "total_loss"
     stride = params_obj.stride
@@ -210,6 +217,11 @@ def make_pooled_dgp_train_step(model, params_obj: DGPLossParams,
         if aug_cfg is not None:
             images, batch = augment_dgp_window(key, images, batch, aug_cfg,
                                                stride, nj)
+        if device_flow:
+            from deepgraphpose_tpu.ops.flow_device import \
+                flow_magnitude_device
+
+            batch = dict(batch, flow=flow_magnitude_device(images))
 
         params = variables["params"]
         rest = {k: v for k, v in variables.items() if k != "params"}

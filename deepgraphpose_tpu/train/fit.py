@@ -530,11 +530,16 @@ def fit_dgp(snapshot: str = "snapshot-step1-final--0",
             tb_log: bool = False,
             bn_train: bool | None = None,
             device_data: bool | None = None,
-            lr: float | None = None) -> Path | None:
+            lr: float | None = None,
+            device_flow: bool = False) -> Path | None:
     """Step 2: full semi-supervised DGP (ref: fitdgp.py:549-845).
 
     ``device_data``: keep per-video frame pools in HBM and gather/augment
-    windows on device (None = auto when the pools fit and wt == 0)."""
+    windows on device (None = auto when the pools fit and wt == 0).
+    ``device_flow``: with wt > 0, estimate the temporal-clique flow on
+    device (ops/flow_device.py pyramidal LK) instead of host Farneback —
+    enables the HBM-pool path for temporal training; the reference's
+    Farneback semantics remain the host-path default."""
     return _fit_dgp_impl(
         snapshot=snapshot, dlcpath=dlcpath, shuffle=shuffle, step=step,
         saveiters=saveiters, displayiters=displayiters, maxiters=maxiters,
@@ -542,14 +547,16 @@ def fit_dgp(snapshot: str = "snapshot-step1-final--0",
         gm3=gm3, nepoch=nepoch, wt=wt, aug=aug, visible_only=False,
         seed=seed, trainingsetindex=trainingsetindex,
         compute_dtype=compute_dtype, resume=resume, debug=debug,
-        tb_log=tb_log, bn_train=bn_train, device_data=device_data, lr=lr)
+        tb_log=tb_log, bn_train=bn_train, device_data=device_data, lr=lr,
+        device_flow=device_flow)
 
 
 def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
                   maxiters, batch_size, ns, n_max_frames, gm2, gm3, nepoch,
                   wt, aug, visible_only, seed, trainingsetindex,
                   compute_dtype, resume, debug, tb_log=False,
-                  bn_train=None, device_data=None, lr=None) -> Path | None:
+                  bn_train=None, device_data=None, lr=None,
+                  device_flow=False) -> Path | None:
     proj, cfg, train_dir = resolve_project(dlcpath, shuffle, trainingsetindex)
     if ckpt_lib.snapshot_exists(train_dir, step, debug):
         print(f"snapshot-step{step}{debug}-final--0 exists; skipping")
@@ -610,14 +617,17 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
     from deepgraphpose_tpu.train import device_data as dd
 
     use_pool = device_data
+    flow_on_device = device_flow and wt != 0
     if use_pool is None:
         est = sum((len(d.chunk) + len(d.visible_frames)
                    + len(d.hidden_frames)) * d.nx_in * d.ny_in * 3
                   for d in mds.datasets)
-        use_pool = (wt == 0) and est <= dd.DEFAULT_POOL_BUDGET_BYTES
-    elif use_pool and wt != 0:
-        print("warning: device_data needs wt == 0 (host-side optical "
-              "flow); falling back to host batches")
+        use_pool = ((wt == 0 or flow_on_device)
+                    and est <= dd.DEFAULT_POOL_BUDGET_BYTES)
+    elif use_pool and wt != 0 and not flow_on_device:
+        print("warning: device_data with wt != 0 needs device_flow=True "
+              "(host-side Farneback otherwise); falling back to host "
+              "batches")
         use_pool = False
     pools = None
     if use_pool:
@@ -628,10 +638,11 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
         augmenter = None
         pooled_step = dd.make_pooled_dgp_train_step(
             model, loss_params, tx, aug_cfg_dev, visible_only=visible_only,
-            bn_train=bn_train)
+            bn_train=bn_train, device_flow=flow_on_device)
         print(f"step {step}: device-resident frame pools "
               f"({total_mb:.0f} MB in HBM)"
-              + (", on-device augmentation" if aug_cfg_dev else ""))
+              + (", on-device augmentation" if aug_cfg_dev else "")
+              + (", on-device LK flow" if flow_on_device else ""))
 
     # schedule (ref: gen_batch for step 2; random visible frames for step 1)
     if visible_only:

@@ -89,6 +89,11 @@ def main(argv=None) -> int:
     ap.add_argument("--step0_lr", type=float, default=None,
                     help="override the pose_cfg multi_step schedule with a "
                     "constant step-0 learning rate")
+    ap.add_argument("--step0_schedule", type=str, default=None,
+                    help="override multi_step as 'lr:until,lr:until,...' — "
+                    "the bundled schedule decays at 430k/730k iters, far "
+                    "past any from-scratch run length, so short runs never "
+                    "see a decay phase without this")
     ap.add_argument("--step0_aug", action="store_true",
                     help="full reference augmentation pipeline during step "
                     "0 (on-device; recommended for from-scratch runs)")
@@ -112,7 +117,8 @@ def main(argv=None) -> int:
     args.workdir.mkdir(parents=True, exist_ok=True)
     proj_dir = make_workdir(args.workdir, fresh=args.fresh)
     _, _, train_dir = resolve_project(proj_dir, shuffle=1)
-    if args.step0_batch is not None or args.step0_lr is not None:
+    if (args.step0_batch is not None or args.step0_lr is not None
+            or args.step0_schedule is not None):
         import yaml
 
         pc = Path(train_dir) / "pose_cfg.yaml"
@@ -121,6 +127,10 @@ def main(argv=None) -> int:
             raw["batch_size"] = args.step0_batch
         if args.step0_lr is not None:
             raw["multi_step"] = [[args.step0_lr, 10**9]]
+        if args.step0_schedule is not None:
+            raw["multi_step"] = [
+                [float(p.split(":")[0]), int(p.split(":")[1])]
+                for p in args.step0_schedule.split(",")]
         pc.write_text(yaml.safe_dump(raw, sort_keys=False))
     platform = jax.devices()[0].platform
     it0, it1, it2 = args.iters
@@ -167,6 +177,7 @@ def main(argv=None) -> int:
     record = dict(date=stamp, platform=platform,
                   iters=[it0, it1, it2], batch_size=args.batch_size,
                   step0_batch=args.step0_batch, step0_lr=args.step0_lr,
+                  step0_schedule=args.step0_schedule,
                   step0_aug=bool(args.step0_aug), dgp_lr=args.dgp_lr,
                   wt=args.wt, timings=timings, results=rows)
     json_path = args.out.with_suffix(".json")

@@ -135,3 +135,56 @@ def test_frame_pool_rows_and_gather(tmp_path):
     np.testing.assert_array_equal(got, want)
     # padding frame number -1 maps to row 0 (masked downstream)
     assert pool.rows([-1])[0] == 0
+
+
+def test_fit_dgp_device_flow_temporal_training(tmp_path):
+    """wt > 0 with device_flow=True: the temporal clique trains from the
+    HBM pool with on-device LK flow (no host Farneback on the hot path)."""
+    root = _make_proj(tmp_path, "flow")
+    fit_dlc(dlcpath=root, maxiters=2, displayiters=1, saveiters=100,
+            bn_train=False, jitter=False)
+    snap2 = fit_dgp(dlcpath=root, batch_size=3, maxiters=3, displayiters=1,
+                    saveiters=100, ns=2, n_max_frames=10, nepoch=1,
+                    wt=1.0, aug=False, device_data=True, device_flow=True,
+                    bn_train=False)
+    assert snap2 is not None and snap2.exists()
+
+
+def test_pooled_step_device_flow_wt_loss_nonzero():
+    import jax
+    import jax.numpy as jnp
+
+    from deepgraphpose_tpu.core.config import PoseConfig
+    from deepgraphpose_tpu.models.pose_model import init_model
+    from deepgraphpose_tpu.ops.dgp_objective import DGPLossParams
+    from deepgraphpose_tpu.train import steps as steps_lib
+
+    nj, t = 3, 3
+    cfg = PoseConfig(num_joints=nj, net_type="mobilenet_v2_0.35",
+                     pos_dist_thresh=9)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (32, 32))
+    lp = DGPLossParams(
+        nj=nj, stride=8.0, gamma=1.0, gauss_len=1.0, lengthscale=1.0,
+        pos_dist_thresh=9, locref_stdev=7.2801, locref_loss_weight=0.05,
+        locref_huber_loss=True, wn_visible=5.0, wn_hidden=3.0, wt=1.0,
+        wt_max=0.0, gm2=0, gm3=0, n_visible_frames_total=4.0,
+        n_hidden_frames_total=8.0, S0=np.zeros((0, nj), np.float32),
+        ws=np.zeros((0,), np.float32), ws_max=np.zeros((0,), np.float32))
+    tx = steps_lib.make_optimizer(0.005, clip_norm=10.0)
+    opt_state = tx.init(variables["params"])
+    step = dd.make_pooled_dgp_train_step(model, lp, tx, aug_cfg=None,
+                                         device_flow=True)
+    rng = np.random.default_rng(0)
+    pool = jnp.asarray(rng.integers(0, 255, (6, 32, 32, 3), dtype=np.uint8))
+    rows = jnp.asarray(np.arange(t, dtype=np.int32))
+    vis = np.zeros(t * nj, np.float32)
+    vis[:nj] = 1
+    batch = dict(
+        targets=jnp.asarray(rng.uniform(0, 3, (t, nj, 2)), jnp.float32),
+        visible_mask=jnp.asarray(vis), hidden_mask=jnp.asarray(1 - vis),
+        frame_mask=jnp.ones(t), wt_batch=jnp.full(t - 1, 1.0),
+        pair_mask=jnp.ones(t - 1), flow=jnp.zeros((t - 1, 1, 1)))
+    variables, opt_state, out = step(variables, opt_state, pool, rows,
+                                     batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(out["total_loss"]))
+    assert "wt_loss" in out and np.isfinite(float(out["wt_loss"]))
