@@ -371,5 +371,28 @@ def run_demo(dlcpath, dlcsnapshot, shuffle, batch_size, test):
     raise SystemExit(run_dgp_demo.main(argv))
 
 
+@main.command("export-model", context_settings=CTX)
+@click.argument("config", type=click.Path(exists=True))
+@click.argument("out", type=click.Path())
+@click.option("--snapshot", default="snapshot-step2-final--0",
+              help="snapshot name under the train dir")
+@click.option("--shuffle", default=1)
+@click.option("--batch-size", default=16)
+@click.option("--height", default=None, type=int)
+@click.option("--width", default=None, type=int)
+@click.option("--platforms", default="tpu,cpu",
+              help="comma-separated export platforms")
+def export_model(config, out, snapshot, shuffle, batch_size, height, width,
+                 platforms):
+    """Freeze a trained snapshot into a StableHLO serving artifact."""
+    from deepgraphpose_tpu.infer.serving import export_from_snapshot
+
+    in_hw = (height, width) if height and width else None
+    path = export_from_snapshot(
+        config, snapshot, out, batch_size=batch_size, in_hw=in_hw,
+        shuffle=shuffle, platforms=tuple(platforms.split(",")))
+    click.echo(f"wrote {path} (+ {path}.json metadata)")
+
+
 if __name__ == "__main__":
     main()
