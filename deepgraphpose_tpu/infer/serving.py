@@ -89,8 +89,10 @@ def export_from_snapshot(config_path: str | Path, snapshot: str | Path,
     snap_name = Path(snapshot).name
     if snap_name.endswith(".ckpt"):
         snap_name = snap_name[: -len(".ckpt")]
+    # allow_init_weights=False: never fall back to the ImageNet backbone
+    # (random heads) — a missing snapshot must fail, not export garbage
     variables, warmed = _warm_start(variables, cfg, Path(train_dir),
-                                    snap_name)
+                                    snap_name, allow_init_weights=False)
     if not warmed:
         raise FileNotFoundError(f"snapshot {snapshot} not found under "
                                 f"{train_dir}")

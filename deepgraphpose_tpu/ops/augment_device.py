@@ -22,10 +22,13 @@ src/deepgraphpose/models/fitdgp_util.py:412-451: Fliplr, +/-10 deg rotate,
 MotionBlur k=3, CoarseDropout (0,0.02)/(0.01,0.05), ElasticTransformation
 sigma=5 alpha<=10, AdditiveGaussianNoise 0.01*255, CropAndPad (-0.3,0.1)
 p=0.4) plus the default loader's scale jitter (ref:
-pose_defaultdataset.py:132-135). Deviations, both shared with
+pose_defaultdataset.py:132-135). Deviations — the first two shared with
 data/augment.py's host implementation: elastic displacement does not move
-keypoints (sub-pixel at the reference's settings), and out-of-image samples
-are zero-filled (cv2 BORDER_CONSTANT) rather than reflected.
+keypoints (sub-pixel at the reference's settings); out-of-image samples
+are zero-filled (cv2 BORDER_CONSTANT) rather than reflected; crop-and-pad
+folds into the single geometric warp and therefore precedes the
+photometric ops (the host applies it last), and additive noise is always
+channel-shared (the host draws per-channel with p=0.5).
 """
 
 from __future__ import annotations
@@ -73,7 +76,8 @@ class DeviceAugmentConfig:
         (ref: pose_defaultdataset.py:132-135; no imgaug in fit_dlc)."""
         return cls(apply_prob=0.0, scale_jitter=(lo, up), flip=False,
                    rotate_deg=0.0, crop_pad_prob=0.0, elastic_alpha=0.0,
-                   motion_blur=False, noise_scale=0.0)
+                   motion_blur=False, dropout_frac=(0.0, 0.0),
+                   noise_scale=0.0)
 
 
 def _affine_params(key, cfg: DeviceAugmentConfig, b: int, hw: tuple,

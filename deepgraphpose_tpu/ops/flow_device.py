@@ -77,10 +77,21 @@ def _warp(img, u, v):
             + fy * ((1 - fx) * take(y1i, x0i) + fx * take(y1i, x1i)))
 
 
+def _grad_central(g, axis: int):
+    """Edge-replicated central difference (no wrap-around at borders —
+    jnp.roll would mix the opposite frame edge into border gradients)."""
+    gp = jnp.pad(g, [(0, 0)] * (g.ndim + axis) + [(1, 1)]
+                 + [(0, 0)] * (-axis - 1), mode="edge")
+    n = g.shape[axis]
+    fwd = jax.lax.slice_in_dim(gp, 2, n + 2, axis=axis)
+    bwd = jax.lax.slice_in_dim(gp, 0, n, axis=axis)
+    return (fwd - bwd) * 0.5
+
+
 def _lk_refine(g0, g1w, u, v, win: int, eps: float):
     """One Lucas-Kanade increment on top of (u, v) (g1w pre-warped)."""
-    ix = (jnp.roll(g0, -1, axis=-1) - jnp.roll(g0, 1, axis=-1)) * 0.5
-    iy = (jnp.roll(g0, -1, axis=-2) - jnp.roll(g0, 1, axis=-2)) * 0.5
+    ix = _grad_central(g0, -1)
+    iy = _grad_central(g0, -2)
     it = g1w - g0
     sxx = _box(ix * ix, win) + eps
     syy = _box(iy * iy, win) + eps

@@ -49,39 +49,32 @@ def pool_fits(n: int, h: int, w: int,
 class LabeledImagePool:
     """Step-0 labeled set in HBM: canvases, coords, presence, content dims.
 
-    Canvases are the ``global_scale``-resized images placed at the top-left
-    of the shared static canvas (train/fit.py::_TrainLabeledImages); the
-    per-sample scale *jitter* and any further augmentation happen on device
-    per batch.
+    Canvases come from ``_TrainLabeledImages._place`` at ``global_scale``
+    with no jitter (one shared placement implementation — the per-sample
+    scale *jitter* and any further augmentation happen on device per
+    batch).
     """
 
-    def __init__(self, items, canvas_hw: tuple, cfg: PoseConfig):
-        import cv2
-
-        ch, cw = canvas_hw
-        n = len(items)
+    def __init__(self, data, cfg: PoseConfig):
+        """``data``: a train.fit._TrainLabeledImages instance."""
+        ch, cw = data.canvas_hw
+        n = len(data.items)
         nj = cfg.num_joints
         images = np.zeros((n, ch, cw, 3), np.uint8)
         coords = np.zeros((n, nj, 2), np.float32)
         present = np.zeros((n, nj), np.float32)
         content = np.zeros((n, 2), np.float32)
         s = cfg.global_scale
-        for i, (img, c) in enumerate(items):
-            if s != 1.0:
-                img = cv2.resize(
-                    img, (max(int(round(img.shape[1] * s)), 1),
-                          max(int(round(img.shape[0] * s)), 1)))
-            h = min(img.shape[0], ch)
-            w = min(img.shape[1], cw)
-            images[i, :h, :w] = img[:h, :w]
-            cc = np.asarray(c, np.float64) * s
-            ok = ~np.isnan(cc[:, 0])
+        for i, (img, c) in enumerate(data.items):
+            canvas, cc = data._place(img, c, s, None)
+            images[i] = canvas
+            present[i] = (~np.isnan(cc[:, 0])).astype(np.float32)
             coords[i] = np.nan_to_num(cc)
-            present[i] = ok.astype(np.float32)
-            content[i] = (w, h)
+            content[i] = (min(max(int(round(img.shape[1] * s)), 1), cw),
+                          min(max(int(round(img.shape[0] * s)), 1), ch))
 
         self.n = n
-        self.canvas_hw = canvas_hw
+        self.canvas_hw = data.canvas_hw
         self.images = jax.device_put(images)
         self.coords = jax.device_put(coords)
         self.present = jax.device_put(present)
@@ -165,28 +158,24 @@ class FramePool:
 def augment_dgp_window(key, images, batch: dict, aug_cfg: DeviceAugmentConfig,
                        stride: float, nj: int):
     """On-device augmentation of one DGP window (visible frames only,
-    matching ref: fitdgp.py:779): rewrites images, targets and the
-    visible/hidden masks — joints pushed off-canvas flip from visible to
-    hidden, exactly as the host path's NaN bookkeeping does."""
+    matching ref: fitdgp.py:779): rewrites images and targets. Visibility
+    masks are untouched — like the host Augmenter (and the reference's
+    imgaug path), a joint displaced off-canvas stays a visible marker with
+    an off-scoremap target, so the pooled and host paths train on the same
+    distribution."""
     b = images.shape[0]
     vis_m = batch["visible_mask"].reshape(b, nj)
     frame_gate = (jnp.max(vis_m, axis=1) > 0).astype(jnp.float32)
     rc = batch["targets"]
     xy = jnp.stack([rc[..., 1] * stride + stride / 2.0,
                     rc[..., 0] * stride + stride / 2.0], axis=-1)
-    images, xy, vis_new = augment_batch(
+    images, xy, _ = augment_batch(
         key, images, xy, vis_m, aug_cfg, gate=frame_gate)
     rc_new = jnp.stack([(xy[..., 1] - stride / 2.0) / stride,
                         (xy[..., 0] - stride / 2.0) / stride], axis=-1)
-    gated = frame_gate[:, None] > 0
-    targets = jnp.where(gated[..., None], rc_new, rc)
-    visible_mask = jnp.where(gated, vis_new, vis_m)
-    hid_m = batch["hidden_mask"].reshape(b, nj)
-    hidden_mask = jnp.where(gated & (vis_m > 0) & (visible_mask <= 0),
-                            1.0, hid_m)
-    return images, dict(batch, targets=targets,
-                        visible_mask=visible_mask.reshape(-1),
-                        hidden_mask=hidden_mask.reshape(-1))
+    gated = frame_gate[:, None, None] > 0
+    targets = jnp.where(gated, rc_new, rc)
+    return images, dict(batch, targets=targets)
 
 
 def make_pooled_dgp_train_step(model, params_obj: DGPLossParams,

@@ -313,6 +313,7 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
     deterministic = cfg.dataset_type == "deterministic"
     if deterministic:
         jitter = False
+        aug = False  # the deterministic loader is reproducible by contract
 
     data = _TrainLabeledImages(proj, cfg, dlcpath, jitter=jitter)
     rng = np.random.default_rng(seed)
@@ -336,7 +337,7 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
     if use_pool is None:
         use_pool = dd.pool_fits(len(data), *data.canvas_hw)
     if use_pool:
-        pool = dd.LabeledImagePool(data.items, data.canvas_hw, cfg)
+        pool = dd.LabeledImagePool(data, cfg)
         if aug:
             aug_cfg = dd.DeviceAugmentConfig.reference(
                 scale_jitter=((cfg.scale_jitter_lo, cfg.scale_jitter_up)
@@ -589,9 +590,6 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
 
     tx = steps_lib.make_optimizer(cfg.lr, momentum=0.9, clip_norm=10.0)
     opt_state = tx.init(variables["params"])
-    train_step = steps_lib.make_dgp_train_step(
-        model, loss_params, tx, visible_only=visible_only,
-        bn_train=bn_train)
 
     # mid-step resume: continue from the latest intermediate snapshot
     # (variables AND optimizer state) — the reference can only skip-if-final
@@ -643,6 +641,10 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
               f"({total_mb:.0f} MB in HBM)"
               + (", on-device augmentation" if aug_cfg_dev else "")
               + (", on-device LK flow" if flow_on_device else ""))
+    else:
+        train_step = steps_lib.make_dgp_train_step(
+            model, loss_params, tx, visible_only=visible_only,
+            bn_train=bn_train)
 
     # schedule (ref: gen_batch for step 2; random visible frames for step 1)
     if visible_only:

@@ -67,3 +67,23 @@ def test_export_from_snapshot_project(tmp_path):
     mu, lik = call(np.zeros(meta["input_shape"], np.uint8))
     assert np.asarray(mu).shape == (2, meta["num_joints"], 2)
     assert np.all(np.isfinite(np.asarray(mu)))
+
+
+def test_export_missing_snapshot_raises(tmp_path):
+    """A missing snapshot must fail loudly — never fall back to
+    init_weights (ImageNet backbone + random heads) and export garbage."""
+    import pytest
+    from conftest import make_synthetic_project
+
+    root = str(tmp_path / "proj2")
+    make_synthetic_project(root, n_frames=8, n_labeled=2, hw=(48, 64))
+    cfg_path = Path(root, "dlc-models/iteration-0/"
+                    "SynthJan1-trainset95shuffle1", "train", "pose_cfg.yaml")
+    raw = yaml.safe_load(cfg_path.read_text())
+    raw["net_type"] = "mobilenet_v2_0.35"
+    cfg_path.write_text(yaml.safe_dump(raw))
+    with pytest.raises(FileNotFoundError):
+        export_from_snapshot(Path(root) / "config.yaml",
+                             "snapshot-step9-final--0",
+                             tmp_path / "x.stablehlo", batch_size=1,
+                             in_hw=(48, 64), platforms=("cpu",))
