@@ -71,7 +71,7 @@ def make_crop_infer_fn(model, cfg, crop_hw: tuple[int, int]):
 def estimate_pose_dynamic(model, cfg, variables, frames: np.ndarray,
                           crop_hw: tuple[int, int] | None = None,
                           detection_threshold: float = 0.5,
-                          margin: int = 64,
+                          margin: int = 32,
                           chunk: int = 16) -> dict:
     """Track-and-crop inference over an in-memory frame array (T, H, W, 3).
 
@@ -128,8 +128,13 @@ class DynamicTracker:
 
     def __init__(self, model, cfg, frame_hw: tuple[int, int],
                  crop_hw: tuple[int, int] | None = None,
-                 detection_threshold: float = 0.5, margin: int = 64,
+                 detection_threshold: float = 0.5, margin: int = 32,
                  chunk: int = 16):
+        # default window = half the frame + margin per side. margin=32 is
+        # already generous next to the reference's default of 10 px around
+        # the per-frame keypoint bbox (ref: predict_videos.py:37,396-401
+        # dynamic=(False,.5,10)) — here it must only absorb the chunk-lagged
+        # center drift, and lost frames re-run full-frame regardless.
         from deepgraphpose_tpu.infer.predict import make_infer_fn
 
         H, W = frame_hw
@@ -234,7 +239,7 @@ class DynamicTracker:
 def estimate_pose_dynamic_video(proj_cfg_file, dgp_model_file, video_file,
                                 output_dir, shuffle: int = 1,
                                 detection_threshold: float = 0.5,
-                                margin: int = 64,
+                                margin: int = 32,
                                 crop_hw: tuple[int, int] | None = None,
                                 batch_size: int = 16,
                                 max_frames: int | None = None,

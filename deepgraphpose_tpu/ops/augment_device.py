@@ -28,7 +28,11 @@ keypoints (sub-pixel at the reference's settings); out-of-image samples
 are zero-filled (cv2 BORDER_CONSTANT) rather than reflected; crop-and-pad
 folds into the single geometric warp and therefore precedes the
 photometric ops (the host applies it last), and additive noise is always
-channel-shared (the host draws per-channel with p=0.5).
+channel-shared (the host draws per-channel with p=0.5); crop-and-pad is
+modeled as a single symmetric center scale, while imgaug's
+CropAndPad(percent=(-0.3, 0.1)) samples each side independently by default
+(anisotropic crop plus translation) — the device version draws one
+percentage, so its crops are isotropic and centered.
 """
 
 from __future__ import annotations
