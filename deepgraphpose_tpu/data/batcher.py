@@ -147,6 +147,20 @@ class DGPBatch:
     frames: np.ndarray        # (B,) source frame numbers (-1 for padding)
     dataset_index: int = 0
 
+    def as_np(self) -> dict:
+        """Host-side dict with the same keys/dtypes as :meth:`as_jnp` —
+        used by the data-parallel trainer to stack windows on host before
+        one sharded device_put."""
+        return dict(
+            targets=np.nan_to_num(self.targets),
+            visible_mask=self.visible_mask,
+            hidden_mask=self.hidden_mask,
+            frame_mask=self.frame_mask,
+            wt_batch=self.wt_batch,
+            pair_mask=self.pair_mask,
+            flow=self.flow,
+        )
+
     def as_jnp(self, flow=None) -> dict:
         """Device dict for the jitted DGP step.
 
@@ -156,15 +170,10 @@ class DGPBatch:
         """
         import jax.numpy as jnp
 
-        return dict(
-            targets=jnp.asarray(np.nan_to_num(self.targets)),
-            visible_mask=jnp.asarray(self.visible_mask),
-            hidden_mask=jnp.asarray(self.hidden_mask),
-            frame_mask=jnp.asarray(self.frame_mask),
-            wt_batch=jnp.asarray(self.wt_batch),
-            pair_mask=jnp.asarray(self.pair_mask),
-            flow=jnp.asarray(self.flow) if flow is None else flow,
-        )
+        d = {k: jnp.asarray(v) for k, v in self.as_np().items()}
+        if flow is not None:
+            d["flow"] = flow
+        return d
 
 
 def assemble_batch(ds: VideoDataset, vis_idx, hid_idx, pad_to: int,

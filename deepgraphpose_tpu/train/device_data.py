@@ -82,7 +82,7 @@ class LabeledImagePool:
 
     @property
     def nbytes(self) -> int:
-        return int(self.images.size)
+        return int(self.images.size) * self.images.dtype.itemsize
 
 
 def make_pooled_dlc_train_step(model, cfg: PoseConfig,
@@ -152,7 +152,7 @@ class FramePool:
 
     @property
     def nbytes(self) -> int:
-        return int(self.images.size)
+        return int(self.images.size) * self.images.dtype.itemsize
 
 
 def augment_dgp_window(key, images, batch: dict, aug_cfg: DeviceAugmentConfig,
@@ -196,6 +196,13 @@ def make_pooled_dgp_train_step(model, params_obj: DGPLossParams,
     aug_cfg=None, matching the reference's aug-off-when-wt>0 gate
     (ref: fitdgp.py:777-779).
     """
+    if device_flow and aug_cfg is not None:
+        # per-frame independent augmentation would destroy the temporal
+        # coherence the LK flow measures (ref gate: fitdgp.py:777-779
+        # disables aug when wt > 0)
+        raise ValueError("make_pooled_dgp_train_step: aug_cfg must be None "
+                         "when device_flow=True (flow needs unaugmented, "
+                         "temporally coherent frames)")
     key_name = "total_loss_visible" if visible_only else "total_loss"
     stride = params_obj.stride
     nj = params_obj.nj

@@ -13,6 +13,7 @@ with device compute via a background prefetcher.
 from __future__ import annotations
 
 import csv
+import functools
 import time
 from pathlib import Path
 
@@ -48,6 +49,42 @@ def resolve_project(dlcpath: str | Path, shuffle: int = 1,
     pose_cfg = PoseConfig.from_yaml(train_dir / "pose_cfg.yaml")
     pose_cfg.project_path = str(dlcpath)
     return proj, pose_cfg, train_dir
+
+
+def _group_schedule_dp(schedule, n_dp: int, rng) -> list:
+    """Group same-video windows into global steps of ``n_dp`` windows.
+
+    Windows within one global step must share a frame pool (one video), so
+    the schedule is partitioned per video and chunked; each video's tail
+    group wrap-pads from its own head to keep shapes static. Global steps
+    are then shuffled to restore the cross-video interleave the
+    partitioning destroys (ref schedule semantics: fitdgp_util.py
+    gen_batch's ratio-interleaved windows).
+    """
+    by_ds: dict[int, list] = {}
+    for ds_i, frames in schedule:
+        by_ds.setdefault(int(ds_i), []).append(frames)
+    groups = []
+    for ds_i, wins in by_ds.items():
+        for j in range(0, len(wins), n_dp):
+            grp = list(wins[j:j + n_dp])
+            k = 0
+            while len(grp) < n_dp:
+                grp.append(wins[k % len(wins)])
+                k += 1
+            groups.append((ds_i, grp))
+    return [groups[i] for i in rng.permutation(len(groups))]
+
+
+def _resolve_data_parallel(data_parallel) -> int:
+    """Device count for ``data_parallel`` (0 = single-device path)."""
+    if not data_parallel:
+        return 0
+    n = len(jax.devices()) if data_parallel is True else int(data_parallel)
+    if n > len(jax.devices()):
+        raise ValueError(f"data_parallel={n} exceeds the "
+                         f"{len(jax.devices())} visible devices")
+    return n if n > 1 else 0
 
 
 def dgp_video_sets(proj: ProjectConfig, dlcpath: str | Path) -> list[str]:
@@ -283,7 +320,8 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
             tb_log: bool = False, jitter: bool = True,
             bn_train: bool | None = None,
             device_data: bool | None = None,
-            aug: bool = False) -> Path | None:
+            aug: bool = False,
+            data_parallel: bool | int = False) -> Path | None:
     """Vanilla supervised training on labeled frames (ref: fitdgp.py:53-254).
 
     ``tb_log=True`` writes TensorBoard scalar event files with the per-term
@@ -298,7 +336,13 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
     per-iteration H2D drops to the index vector. ``aug=True`` additionally
     runs the full reference augmentation pipeline on visible frames (an
     extension for from-scratch runs; the reference's fit_dlc uses only
-    scale jitter + crop, ref: pose_defaultdataset.py:136-266)."""
+    scale jitter + crop, ref: pose_defaultdataset.py:136-266).
+    ``data_parallel`` trains over a device mesh (True = all local devices,
+    int = that many): each of ``maxiters`` optimizer updates consumes a
+    ``batch_size x n_devices`` global batch sharded over the data axis,
+    gradients/BN stats all-reduce over ICI (parallel/train_dp.py; the
+    reference's counterpart tower helper is never wired up,
+    ref: helpers/utils_tf.py:81-209). Requires the device-data pool."""
     proj, cfg, train_dir = resolve_project(dlcpath, shuffle, trainingsetindex)
     if ckpt_lib.snapshot_exists(train_dir, step):
         print(f"snapshot-step{step}-final--0 exists; skipping fit_dlc")
@@ -333,9 +377,20 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
 
     from deepgraphpose_tpu.train import device_data as dd
 
+    n_dp = _resolve_data_parallel(data_parallel)
     use_pool = device_data
     if use_pool is None:
         use_pool = dd.pool_fits(len(data), *data.canvas_hw)
+    elif use_pool and not dd.pool_fits(len(data), *data.canvas_hw):
+        # the budget guard applies to explicit device_data=True too — an
+        # oversized pool would OOM the 16 GB v5e regardless of who asked
+        print("warning: fit_dlc(device_data=True) labeled-image pool "
+              "exceeds the HBM budget; falling back to host batches")
+        use_pool = False
+    if n_dp > 1 and not use_pool:
+        print("warning: fit_dlc(data_parallel=...) requires the device-data "
+              "pool; training single-device")
+        n_dp = 0
     if use_pool:
         pool = dd.LabeledImagePool(data, cfg)
         if aug:
@@ -347,11 +402,26 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
                 cfg.scale_jitter_lo, cfg.scale_jitter_up)
         else:
             aug_cfg = None
-        pooled_step = dd.make_pooled_dlc_train_step(model, cfg, tx, aug_cfg,
-                                                    bn_train=bn_train)
+        if n_dp > 1:
+            from deepgraphpose_tpu.parallel import mesh as mesh_lib
+            from deepgraphpose_tpu.parallel.train_dp import \
+                make_dp_pooled_dlc_train_step
+
+            mesh = mesh_lib.make_mesh(n_dp)
+            pooled_step = make_dp_pooled_dlc_train_step(
+                model, cfg, tx, mesh, aug_cfg, bn_train=bn_train)
+            pool.images = mesh_lib.replicate(pool.images, mesh)
+            pool.coords = mesh_lib.replicate(pool.coords, mesh)
+            pool.present = mesh_lib.replicate(pool.present, mesh)
+            pool.content_wh = mesh_lib.replicate(pool.content_wh, mesh)
+        else:
+            pooled_step = dd.make_pooled_dlc_train_step(
+                model, cfg, tx, aug_cfg, bn_train=bn_train)
         print(f"fit_dlc: device-resident pool of {len(data)} images "
               f"({pool.nbytes / 1e6:.0f} MB in HBM)"
-              + (", full on-device augmentation" if aug else ""))
+              + (", full on-device augmentation" if aug else "")
+              + (f", data-parallel x{n_dp} (global batch {bs * n_dp})"
+                 if n_dp > 1 else ""))
     else:
         if aug:
             print("warning: fit_dlc(aug=True) needs the device-data pool; "
@@ -400,15 +470,28 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
         import jax.numpy as jnp
 
         key0 = jax.random.PRNGKey(seed + 1)
-        stream = _index_stream(len(data), bs, deterministic, rng)
+        if n_dp > 1:
+            from deepgraphpose_tpu.parallel import mesh as mesh_lib
+
+            # replicate AFTER any resume load so restored host arrays pick
+            # up the mesh sharding; idxs shards the global batch
+            variables = mesh_lib.replicate(variables, mesh)
+            opt_state = mesh_lib.replicate(opt_state, mesh)
+            stream = _index_stream(len(data), bs * n_dp, deterministic, rng)
+            idx_put = functools.partial(mesh_lib.shard_leading_axis,
+                                        mesh=mesh)
+            key_put = functools.partial(mesh_lib.replicate, mesh=mesh)
+        else:
+            stream = _index_stream(len(data), bs, deterministic, rng)
+            idx_put = key_put = jax.device_put
         for it in range(maxiters):
             idxs = next(stream)
             if it < start_it:
                 continue
             variables, opt_state, out = pooled_step(
                 variables, opt_state, pool.images, pool.coords, pool.present,
-                pool.content_wh, jnp.asarray(idxs, jnp.int32),
-                jax.random.fold_in(key0, it), it)
+                pool.content_wh, idx_put(jnp.asarray(idxs, jnp.int32)),
+                key_put(jax.random.fold_in(key0, it)), it)
             handle(it, out, variables, opt_state)
     else:
         def producer():
@@ -507,7 +590,9 @@ def fit_dgp_labeledonly(snapshot: str = "snapshot-step0-final--0",
                         tb_log: bool = False,
                         bn_train: bool | None = None,
                         device_data: bool | None = None,
-                        lr: float | None = None) -> Path | None:
+                        lr: float | None = None,
+                        lr_decay: bool = False,
+                        data_parallel: bool | int = False) -> Path | None:
     """Step 1: DGP objective, visible-frame losses only
     (ref: fitdgp.py:257-546 — one visible frame per iteration)."""
     return _fit_dgp_impl(
@@ -517,7 +602,8 @@ def fit_dgp_labeledonly(snapshot: str = "snapshot-step0-final--0",
         nepoch=nepoch, wt=0.0, aug=aug, visible_only=True, seed=seed,
         trainingsetindex=trainingsetindex, compute_dtype=compute_dtype,
         resume=resume, debug=debug, tb_log=tb_log, bn_train=bn_train,
-        device_data=device_data, lr=lr)
+        device_data=device_data, lr=lr, lr_decay=lr_decay,
+        data_parallel=data_parallel)
 
 
 def fit_dgp(snapshot: str = "snapshot-step1-final--0",
@@ -532,7 +618,9 @@ def fit_dgp(snapshot: str = "snapshot-step1-final--0",
             bn_train: bool | None = None,
             device_data: bool | None = None,
             lr: float | None = None,
-            device_flow: bool = False) -> Path | None:
+            device_flow: bool = False,
+            lr_decay: bool = False,
+            data_parallel: bool | int = False) -> Path | None:
     """Step 2: full semi-supervised DGP (ref: fitdgp.py:549-845).
 
     ``device_data``: keep per-video frame pools in HBM and gather/augment
@@ -540,7 +628,12 @@ def fit_dgp(snapshot: str = "snapshot-step1-final--0",
     ``device_flow``: with wt > 0, estimate the temporal-clique flow on
     device (ops/flow_device.py pyramidal LK) instead of host Farneback —
     enables the HBM-pool path for temporal training; the reference's
-    Farneback semantics remain the host-path default."""
+    Farneback semantics remain the host-path default.
+    ``data_parallel`` (True = all local devices, int = that many) shards a
+    global batch of n_devices DGP windows over a device mesh per optimizer
+    update; gradients/BN stats all-reduce over ICI (parallel/train_dp.py).
+    Requires the device-data pools; composes with ``bn_train``, ``aug``,
+    and ``device_flow``."""
     return _fit_dgp_impl(
         snapshot=snapshot, dlcpath=dlcpath, shuffle=shuffle, step=step,
         saveiters=saveiters, displayiters=displayiters, maxiters=maxiters,
@@ -549,7 +642,8 @@ def fit_dgp(snapshot: str = "snapshot-step1-final--0",
         seed=seed, trainingsetindex=trainingsetindex,
         compute_dtype=compute_dtype, resume=resume, debug=debug,
         tb_log=tb_log, bn_train=bn_train, device_data=device_data, lr=lr,
-        device_flow=device_flow)
+        device_flow=device_flow, lr_decay=lr_decay,
+        data_parallel=data_parallel)
 
 
 def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
@@ -557,7 +651,8 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
                   wt, aug, visible_only, seed, trainingsetindex,
                   compute_dtype, resume, debug, tb_log=False,
                   bn_train=None, device_data=None, lr=None,
-                  device_flow=False) -> Path | None:
+                  device_flow=False, lr_decay=False,
+                  data_parallel=False) -> Path | None:
     proj, cfg, train_dir = resolve_project(dlcpath, shuffle, trainingsetindex)
     if ckpt_lib.snapshot_exists(train_dir, step, debug):
         print(f"snapshot-step{step}{debug}-final--0 exists; skipping")
@@ -575,6 +670,30 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
     rng = np.random.default_rng(seed)
     pad_to = max(batch_size + 1, 2)
 
+    # schedule first (ref: gen_batch for step 2; random visible frames for
+    # step 1) so the lr-decay horizon below matches the true iteration count
+    if visible_only:
+        n_sched = min(maxiters,
+                      max(1, mds.n_visible_frames_total) * nepoch)
+        schedule = []
+        ds_choices = rng.choice(
+            len(mds.datasets), size=n_sched,
+            p=mds.batch_ratios if mds.batch_ratios.sum() > 0 else None)
+        for ds_i in ds_choices:
+            d = mds.datasets[int(ds_i)]
+            if len(d.visible_frames) == 0:
+                continue
+            f = d.visible_frames[rng.integers(len(d.visible_frames))]
+            schedule.append((int(ds_i), np.array([f])))
+    else:
+        schedule = generate_batch_schedule(
+            [d.visible_frames for d in mds.datasets],
+            [d.hidden_frames for d in mds.datasets],
+            [d.chunk for d in mds.datasets],
+            batch_size, nepoch, maxiters, seed=seed)
+    n_iters = len(schedule)
+    save_every = max(1, int(saveiters / max(batch_size, 1)))
+
     # model sized for the first video; per-video shapes compile on demand
     d0 = mds.datasets[0]
     model, variables = init_model(
@@ -588,7 +707,18 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
         print(f"step {step}: trainable batch-norm enabled "
               "(from-scratch mode)")
 
-    tx = steps_lib.make_optimizer(cfg.lr, momentum=0.9, clip_norm=10.0)
+    # ``lr_decay=True`` anneals the step's rate with a cosine schedule over
+    # its true iteration count (floor 5% of lr). The reference holds its
+    # hard-coded 0.005 flat (fitdgp.py:353, 650) — tuned for warm-started
+    # models; from-scratch step-0 models degrade under a flat rate (EVAL.md).
+    if lr_decay:
+        import optax
+
+        lr_or_sched = optax.cosine_decay_schedule(
+            cfg.lr, decay_steps=max(n_iters, 1), alpha=0.05)
+    else:
+        lr_or_sched = cfg.lr
+    tx = steps_lib.make_optimizer(lr_or_sched, momentum=0.9, clip_norm=10.0)
     opt_state = tx.init(variables["params"])
 
     # mid-step resume: continue from the latest intermediate snapshot
@@ -616,10 +746,10 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
 
     use_pool = device_data
     flow_on_device = device_flow and wt != 0
+    est = sum((len(d.chunk) + len(d.visible_frames)
+               + len(d.hidden_frames)) * d.nx_in * d.ny_in * 3
+              for d in mds.datasets)
     if use_pool is None:
-        est = sum((len(d.chunk) + len(d.visible_frames)
-                   + len(d.hidden_frames)) * d.nx_in * d.ny_in * 3
-                  for d in mds.datasets)
         use_pool = ((wt == 0 or flow_on_device)
                     and est <= dd.DEFAULT_POOL_BUDGET_BYTES)
     elif use_pool and wt != 0 and not flow_on_device:
@@ -627,47 +757,52 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
               "(host-side Farneback otherwise); falling back to host "
               "batches")
         use_pool = False
+    elif use_pool and est > dd.DEFAULT_POOL_BUDGET_BYTES:
+        # explicit device_data=True still respects the HBM budget: an
+        # oversized per-video pool would OOM the 16 GB v5e
+        print(f"warning: device_data=True frame pools ({est / 1e9:.1f} GB) "
+              "exceed the HBM budget; falling back to host batches")
+        use_pool = False
+    n_dp = _resolve_data_parallel(data_parallel)
+    if n_dp > 1 and not use_pool:
+        print(f"warning: fit_dgp(data_parallel={data_parallel}) requires "
+              "the device-data frame pools; training single-device")
+        n_dp = 0
     pools = None
+    mesh = None
     if use_pool:
         pools = [dd.FramePool(d) for d in mds.datasets]
         total_mb = sum(p.nbytes for p in pools) / 1e6
         aug_cfg_dev = (dd.DeviceAugmentConfig.reference()
                        if augmenter is not None else None)
         augmenter = None
-        pooled_step = dd.make_pooled_dgp_train_step(
-            model, loss_params, tx, aug_cfg_dev, visible_only=visible_only,
-            bn_train=bn_train, device_flow=flow_on_device)
+        if n_dp > 1:
+            from deepgraphpose_tpu.parallel import mesh as mesh_lib
+            from deepgraphpose_tpu.parallel.train_dp import \
+                make_dp_pooled_dgp_train_step
+
+            mesh = mesh_lib.make_mesh(n_dp)
+            pooled_step = make_dp_pooled_dgp_train_step(
+                model, loss_params, tx, mesh, aug_cfg_dev,
+                visible_only=visible_only, bn_train=bn_train,
+                device_flow=flow_on_device)
+            for p in pools:
+                p.images = mesh_lib.replicate(p.images, mesh)
+        else:
+            pooled_step = dd.make_pooled_dgp_train_step(
+                model, loss_params, tx, aug_cfg_dev,
+                visible_only=visible_only,
+                bn_train=bn_train, device_flow=flow_on_device)
         print(f"step {step}: device-resident frame pools "
               f"({total_mb:.0f} MB in HBM)"
               + (", on-device augmentation" if aug_cfg_dev else "")
-              + (", on-device LK flow" if flow_on_device else ""))
+              + (", on-device LK flow" if flow_on_device else "")
+              + (f", data-parallel x{n_dp} windows/update"
+                 if n_dp > 1 else ""))
     else:
         train_step = steps_lib.make_dgp_train_step(
             model, loss_params, tx, visible_only=visible_only,
             bn_train=bn_train)
-
-    # schedule (ref: gen_batch for step 2; random visible frames for step 1)
-    if visible_only:
-        n_iters = min(maxiters,
-                      max(1, mds.n_visible_frames_total) * nepoch)
-        schedule = []
-        ds_choices = rng.choice(
-            len(mds.datasets), size=n_iters,
-            p=mds.batch_ratios if mds.batch_ratios.sum() > 0 else None)
-        for ds_i in ds_choices:
-            d = mds.datasets[int(ds_i)]
-            if len(d.visible_frames) == 0:
-                continue
-            f = d.visible_frames[rng.integers(len(d.visible_frames))]
-            schedule.append((int(ds_i), np.array([f])))
-    else:
-        schedule = generate_batch_schedule(
-            [d.visible_frames for d in mds.datasets],
-            [d.hidden_frames for d in mds.datasets],
-            [d.chunk for d in mds.datasets],
-            batch_size, nepoch, maxiters, seed=seed)
-    n_iters = len(schedule)
-    save_every = max(1, int(saveiters / max(batch_size, 1)))
 
     def split_window(ds_i, frames):
         """(vis, hid) frame numbers with the visible-frame anchor rule
@@ -704,7 +839,41 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
             ckpt_lib.save_snapshot(train_dir, step, it, variables, opt_state,
                                    cfg.max_to_keep, debug)
 
-    if use_pool:
+    if use_pool and n_dp > 1:
+        import jax.numpy as jnp
+
+        from deepgraphpose_tpu.parallel import mesh as mesh_lib
+
+        # replicate AFTER any resume load so restored host arrays pick up
+        # the mesh sharding
+        variables = mesh_lib.replicate(variables, mesh)
+        opt_state = mesh_lib.replicate(opt_state, mesh)
+        key0 = jax.random.PRNGKey(seed + 2)
+        for gi, (ds_i, grp) in enumerate(
+                _group_schedule_dp(schedule, n_dp, rng)):
+            it = gi * n_dp  # one update consumes n_dp schedule windows
+            if it < start_it:
+                continue
+            rows_g, batch_g = [], []
+            for frames in grp:
+                vis, hid = split_window(ds_i, frames)
+                b = assemble_batch(mds.datasets[ds_i], vis, hid,
+                                   pad_to=pad_to, wt=cfg.wt,
+                                   with_images=False)
+                rows_g.append(pools[ds_i].rows(b.frames))
+                batch_g.append(b.as_np())
+            rows = mesh_lib.shard_leading_axis(
+                np.stack(rows_g).astype(np.int32), mesh)
+            batch = mesh_lib.shard_leading_axis(
+                {k: np.stack([bb[k] for bb in batch_g])
+                 for k in batch_g[0]}, mesh)
+            keys = mesh_lib.shard_leading_axis(
+                np.asarray(jax.random.split(jax.random.fold_in(key0, gi),
+                                            n_dp)), mesh)
+            variables, opt_state, out = pooled_step(
+                variables, opt_state, pools[ds_i].images, rows, batch, keys)
+            handle(it, out, variables, opt_state)
+    elif use_pool:
         import jax.numpy as jnp
 
         key0 = jax.random.PRNGKey(seed + 2)
