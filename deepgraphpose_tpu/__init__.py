@@ -74,6 +74,19 @@ _LAZY_API = {
             "drop_annotations_for_deleted_images"),
         "drop_unannotated_images": ("deepgraphpose_tpu.project",
                                     "drop_unannotated_images"),
+        # conversion helpers (ref: utils/conversioncode.py; top-level
+        # exports, DeepLabCut __init__.py:57)
+        "convertcsv2h5": ("deepgraphpose_tpu.project.conversion",
+                          "convertcsv2h5"),
+        "convertannotationdata_fromwindows2unixstyle": (
+            "deepgraphpose_tpu.project.conversion",
+            "convertannotationdata_fromwindows2unixstyle"),
+        "analyze_videos_converth5_to_csv": (
+            "deepgraphpose_tpu.project.conversion",
+            "analyze_videos_converth5_to_csv"),
+        "merge_windowsannotationdataONlinuxsystem": (
+            "deepgraphpose_tpu.project.conversion",
+            "merge_windowsannotationdataONlinuxsystem"),
         # 3-D (ref: deeplabcut pose_estimation_3d)
         "create_new_project_3d": ("deepgraphpose_tpu.threed",
                                   "create_new_project_3d"),

@@ -394,5 +394,47 @@ def export_model(config, out, snapshot, shuffle, batch_size, height, width,
     click.echo(f"wrote {path} (+ {path}.json metadata)")
 
 
+@main.command("convertcsv2h5", context_settings=CTX)
+@click.argument("config", type=click.Path(exists=True))
+@click.option("--scorer", default=None,
+              help="overwrite the annotator name in the rewritten files")
+@click.option("--userfeedback", is_flag=True, default=False,
+              help="ask per labeled-data folder before converting")
+def convertcsv2h5_cmd(config, scorer, userfeedback):
+    """Rebuild CollectedData .h5 files from their .csv siblings
+    (ref: utils/conversioncode.py:49-110)."""
+    from deepgraphpose_tpu.project.conversion import convertcsv2h5
+
+    n = convertcsv2h5(config, userfeedback=userfeedback, scorer=scorer)
+    click.echo(f"converted {n} folder(s)")
+
+
+@main.command("convert-windows-paths", context_settings=CTX)
+@click.argument("config", type=click.Path(exists=True))
+@click.option("--userfeedback", is_flag=True, default=False)
+def convert_windows_paths(config, userfeedback):
+    """Convert Windows-style annotation image paths to unix form
+    (ref: utils/conversioncode.py:17-47)."""
+    from deepgraphpose_tpu.project.conversion import \
+        convertannotationdata_fromwindows2unixstyle
+
+    n = convertannotationdata_fromwindows2unixstyle(
+        config, userfeedback=userfeedback)
+    click.echo(f"converted {n} folder(s)")
+
+
+@main.command("converth5-to-csv", context_settings=CTX)
+@click.argument("videopath", type=click.Path(exists=True))
+@click.option("--videotype", default=".avi")
+def converth5_to_csv(videopath, videotype):
+    """Export pose .h5 tables next to videos as .csv
+    (ref: utils/conversioncode.py:112-156)."""
+    from deepgraphpose_tpu.project.conversion import \
+        analyze_videos_converth5_to_csv
+
+    n = analyze_videos_converth5_to_csv(videopath, videotype=videotype)
+    click.echo(f"converted {n} file(s)")
+
+
 if __name__ == "__main__":
     main()

@@ -87,6 +87,110 @@ def write_collected_data_csv(path: str | Path, labels: Labels) -> None:
             wr.writerow(row)
 
 
+def _h5_str_array(g, name: str, values: list, kind: str = "string",
+                  idx_name: str | None = None) -> None:
+    """Write a fixed-width bytes array with the pytables/pandas attrs the
+    reference's ``pd.read_hdf`` expects on index arrays."""
+    import numpy as np
+
+    enc = [str(v).encode("utf-8") for v in values]
+    arr = np.asarray(enc, dtype=f"S{max((len(e) for e in enc), default=1)}")
+    d = g.create_dataset(name, data=arr)
+    d.attrs["CLASS"] = np.bytes_("ARRAY")
+    d.attrs["VERSION"] = np.bytes_("2.4")
+    d.attrs["TITLE"] = np.bytes_("")
+    d.attrs["FLAVOR"] = np.bytes_("numpy")
+    d.attrs["kind"] = np.bytes_(kind)
+    d.attrs["name"] = np.bytes_(idx_name) if idx_name else np.bytes_("N.")
+    d.attrs["transposed"] = False
+
+
+def _h5_int_array(g, name: str, values) -> None:
+    import numpy as np
+
+    d = g.create_dataset(name, data=np.asarray(values, np.int64))
+    d.attrs["CLASS"] = np.bytes_("ARRAY")
+    d.attrs["VERSION"] = np.bytes_("2.4")
+    d.attrs["TITLE"] = np.bytes_("")
+    d.attrs["FLAVOR"] = np.bytes_("numpy")
+    d.attrs["kind"] = np.bytes_("integer")
+    d.attrs["transposed"] = False
+
+
+def write_collected_data_h5(path: str | Path, labels: Labels,
+                            key: str = "df_with_missing") -> None:
+    """Write the CollectedData ``.h5`` twin in pandas' fixed format via raw
+    h5py (pytables absent here), so a reference DeepLabCut installation's
+    ``pd.read_hdf(path, 'df_with_missing')`` consumes this repo's labels
+    (ref save paths: gui/labeling_toolbox.py SaveData,
+    gui/refinement.py SaveData — both write .h5 + .csv pairs).
+
+    Layout (mirrors pandas.io.pytables BlockManagerFixed.write): group
+    ``df_with_missing`` with a 3-level MultiIndex axis0
+    (scorer/bodyparts/coords) stored as level+label arrays, the image-path
+    index as axis1, one float64 block stored (n_rows, n_cols) with
+    ``transposed=True``, and ``block0_items`` mirroring axis0.
+    :func:`read_collected_data_h5` is the read side.
+    """
+    import h5py
+    import numpy as np
+
+    nj = len(labels.bodyparts)
+    cols_l0 = [labels.scorer]
+    cols_l1 = list(labels.bodyparts)
+    cols_l2 = ["x", "y"]
+    lab0 = [0] * (2 * nj)
+    lab1 = [j for j in range(nj) for _ in range(2)]
+    lab2 = [0, 1] * nj
+    values = labels.coords_xy.reshape(len(labels.image_paths), 2 * nj)
+
+    with h5py.File(path, "w") as f:
+        g = f.create_group(key)
+        a = g.attrs
+        a["CLASS"] = np.bytes_("GROUP")
+        a["VERSION"] = np.bytes_("1.0")
+        a["TITLE"] = np.bytes_("")
+        a["pandas_type"] = np.bytes_("frame")
+        a["pandas_version"] = np.bytes_("0.15.2")
+        a["encoding"] = np.bytes_("UTF-8")
+        a["errors"] = np.bytes_("strict")
+        a["ndim"] = np.int64(2)
+        a["nblocks"] = np.int64(1)
+        a["axis0_variety"] = np.bytes_("multi")
+        a["axis0_nlevels"] = np.int64(3)
+        a["axis1_variety"] = np.bytes_("regular")
+        a["block0_items_variety"] = np.bytes_("multi")
+        a["block0_items_nlevels"] = np.int64(3)
+
+        for prefix in ("axis0", "block0_items"):
+            _h5_str_array(g, f"{prefix}_level0", cols_l0, idx_name="scorer")
+            _h5_str_array(g, f"{prefix}_level1", cols_l1,
+                          idx_name="bodyparts")
+            _h5_str_array(g, f"{prefix}_level2", cols_l2, idx_name="coords")
+            _h5_int_array(g, f"{prefix}_label0", lab0)
+            _h5_int_array(g, f"{prefix}_label1", lab1)
+            _h5_int_array(g, f"{prefix}_label2", lab2)
+        _h5_str_array(g, "axis1", labels.image_paths)
+
+        d = g.create_dataset("block0_values",
+                             data=np.asarray(values, np.float64))
+        d.attrs["CLASS"] = np.bytes_("ARRAY")
+        d.attrs["VERSION"] = np.bytes_("2.4")
+        d.attrs["TITLE"] = np.bytes_("")
+        d.attrs["FLAVOR"] = np.bytes_("numpy")
+        d.attrs["transposed"] = True
+
+
+def write_collected_data(path_base: str | Path, labels: Labels) -> None:
+    """Write the CSV + H5 CollectedData pair, like every reference save
+    path (labeling, refinement, conversion tooling)."""
+    base = Path(path_base)
+    if base.suffix in (".csv", ".h5"):
+        base = base.with_suffix("")
+    write_collected_data_csv(base.with_suffix(".csv"), labels)
+    write_collected_data_h5(base.with_suffix(".h5"), labels)
+
+
 def read_collected_data_h5(path: str | Path) -> Labels:
     """Read a pandas-written CollectedData H5 via raw h5py (no pytables).
 
@@ -99,9 +203,7 @@ def read_collected_data_h5(path: str | Path) -> Labels:
         with h5py.File(path, "r") as f:
             g = f["df_with_missing"]
             # pandas fixed format: axis0 stores column tuples via level arrays
-            labels0 = [x.decode() for x in g["axis0_label0"][()]] \
-                if "axis0_label0" in g else None
-            if labels0 is None:
+            if "axis0_label0" not in g:
                 raise KeyError("not a fixed-format frame")
             lvl0 = [x.decode() for x in g["axis0_level0"][()]]
             lvl1 = [x.decode() for x in g["axis0_level1"][()]]

@@ -52,23 +52,18 @@ def _rewrite_kept_rows(vdir: Path, scorer: str, labels, keep: list,
     """Rewrite CollectedData with only ``keep`` rows; returns rows removed.
 
     The reference rewrites both the .csv and .h5 (trainingsetmanipulation
-    keeps them in sync); here the CSV is canonical, so a stale sibling .h5
-    is removed rather than left disagreeing with it.
+    keeps them in sync); both are rewritten here too
+    (data/project.py::write_collected_data).
     """
     dropped = len(labels.image_paths) - len(keep)
     if dropped == 0:
         return 0
-    project_io.write_collected_data_csv(
+    project_io.write_collected_data(
         vdir / f"CollectedData_{scorer}.csv",
         project_io.Labels(
             scorer=scorer, bodyparts=list(labels.bodyparts),
             image_paths=[labels.image_paths[i] for i in keep],
             coords_xy=np.asarray(labels.coords_xy)[keep]))
-    stale_h5 = vdir / f"CollectedData_{scorer}.h5"
-    if stale_h5.exists():
-        stale_h5.unlink()
-        print(f"{vdir.name}: removed stale {stale_h5.name} "
-              "(CSV is now canonical)")
     print(f"{vdir.name}: dropped {dropped} {why}")
     return dropped
 

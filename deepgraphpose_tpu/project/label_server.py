@@ -151,7 +151,7 @@ class _State:
 
     def save(self) -> Path:
         from deepgraphpose_tpu.data.project import (Labels,
-                                                    write_collected_data_csv)
+                                                    write_collected_data)
 
         keep = [f for f in self.frames
                 if np.isfinite(self.labels[f]).any()]
@@ -161,7 +161,9 @@ class _State:
             coords_xy=np.stack([self.labels[f] for f in keep])
             if keep else np.zeros((0, len(self.bodyparts), 2)))
         out = self.vdir / f"CollectedData_{self.scorer}.csv"
-        write_collected_data_csv(out, labels)
+        # .csv + .h5 twin, like the reference's SaveData
+        # (ref: gui/labeling_toolbox.py)
+        write_collected_data(out, labels)
         return out
 
 

@@ -75,7 +75,9 @@ def accept_machine_labels(config: str | Path, video_name: str,
         scorer=proj.scorer, bodyparts=list(proj.bodyparts),
         image_paths=[image_paths[i] for i in order],
         coords_xy=np.stack([all_coords[i] for i in order]))
-    project_io.write_collected_data_csv(
+    # .csv + .h5 twin, like the reference's refinement SaveData
+    # (ref: gui/refinement.py)
+    project_io.write_collected_data(
         vdir / f"CollectedData_{proj.scorer}.csv", merged)
     print(f"accepted {added} machine-labeled frames into {vdir}")
     return added
