@@ -62,6 +62,9 @@ _LAZY_API = {
                         "LabelServer"),
         "extract_save_all_maps": ("deepgraphpose_tpu.evaluation.maps",
                                   "extract_save_all_maps"),
+        # raw training-dataset target inspection (ref: vis_dataset.py)
+        "display_dataset": ("deepgraphpose_tpu.evaluation.maps",
+                            "display_dataset"),
         # label-file hygiene (ref: trainingsetmanipulation.py:36-219)
         "compare_video_lists_and_data_folders": (
             "deepgraphpose_tpu.project",

@@ -67,6 +67,9 @@ def infer_forward(model, cfg: PoseConfig, variables, images_u8):
 
 def make_infer_fn(model, cfg: PoseConfig):
     """Jitted (variables, uint8 images) -> (mu_rc, likelihood)."""
+    from deepgraphpose_tpu.utils.compile_cache import ensure_compile_cache
+
+    ensure_compile_cache()
     return jax.jit(functools.partial(infer_forward, model, cfg))
 
 

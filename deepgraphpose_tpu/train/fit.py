@@ -42,6 +42,9 @@ from deepgraphpose_tpu.utils import profiling
 def resolve_project(dlcpath: str | Path, shuffle: int = 1,
                     trainingsetindex: int = 0):
     """(proj_cfg, pose_cfg, train_dir) from a DLC project directory."""
+    from deepgraphpose_tpu.utils.compile_cache import ensure_compile_cache
+
+    ensure_compile_cache()
     dlcpath = Path(dlcpath)
     proj = ProjectConfig.from_yaml(dlcpath / "config.yaml")
     proj.project_path = str(dlcpath)

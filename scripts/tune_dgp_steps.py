@@ -19,10 +19,16 @@ Usage (real TPU):
 from __future__ import annotations
 
 import argparse
+import faulthandler
 import json
+import signal
 import sys
 import time
 from pathlib import Path
+
+# SIGUSR1 dumps all-thread tracebacks without killing the run (relay
+# compiles can take 10-20 min; this is how to tell "slow" from "stuck")
+faulthandler.register(signal.SIGUSR1)
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:

@@ -192,3 +192,16 @@ def test_extract_save_all_maps(project_with_snapshot, tmp_path):
                                 indices=[0, 1], dest_folder=tmp_path)
     assert len(out) == 2
     assert all(p.exists() and p.stat().st_size > 0 for p in out)
+
+
+def test_display_dataset_targets(project_with_snapshot, tmp_path):
+    """Raw dataset target-scoremap grids (ref: vis_dataset.py) — no
+    network, straight from the trainer's rasterizer."""
+    from deepgraphpose_tpu.evaluation.maps import display_dataset
+
+    root, _ = project_with_snapshot
+    out = display_dataset(Path(root) / "config.yaml", shuffle=1,
+                          indices=[0, 1], dest_folder=tmp_path)
+    assert len(out) == 2
+    assert all(p.name.endswith("_targets.png") for p in out)
+    assert all(p.stat().st_size > 1000 for p in out)
