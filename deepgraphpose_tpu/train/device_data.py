@@ -155,6 +155,157 @@ class FramePool:
         return int(self.images.size) * self.images.dtype.itemsize
 
 
+class SegmentedFramePool:
+    """Spill tier between "pool fits in HBM" and per-iteration host feed.
+
+    When a video's frame universe exceeds the HBM budget (n_max_frames ~
+    thousands of full-res frames x many videos), the reference decodes and
+    ships every window from the host each iteration (ref:
+    dataset.py:811-821 — the hot-loop cost this kills). Instead, the
+    precomputed window schedule is greedily packed into *time segments*:
+    every labeled (visible) frame stays pinned in the device array, and the
+    remaining frames of consecutive windows accumulate into a segment until
+    its frame union would exceed ``capacity_frames``. One H2D upload then
+    serves every window of the segment, so each frame crosses the tunnel
+    ~once per schedule pass instead of once per overlapping window, and the
+    train step keeps its single static-shape gather.
+
+    All segment arrays share one shape ``(n_pinned + capacity, H, W, 3)``
+    (short segments pad with row 0) so the jitted step compiles once.
+    """
+
+    def __init__(self, ds, windows, capacity_bytes: int):
+        """``windows``: the schedule's frame arrays for this video, in
+        visit order. ``capacity_bytes``: HBM budget for ONE resident
+        segment array (pinned block included)."""
+        self.ds = ds
+        pinned = np.unique(np.asarray(ds.visible_frames, np.int64))
+        self._pinned_row = {int(f): i for i, f in enumerate(pinned)}
+        self.pinned = pinned
+        frame_bytes = int(ds.nx_in) * int(ds.ny_in) * 3
+        cap = capacity_bytes // max(frame_bytes, 1) - len(pinned)
+
+        needed = []
+        for frames in windows:
+            need = sorted({int(f) for f in np.asarray(frames).ravel()
+                           if int(f) >= 0
+                           and int(f) not in self._pinned_row})
+            needed.append(need)
+        widest = max((len(n) for n in needed), default=0)
+        if cap < widest:
+            raise ValueError(
+                f"SegmentedFramePool: one window needs {widest} non-pinned "
+                f"frames but the segment budget holds only {cap}")
+
+        self.segments: list[np.ndarray] = []  # sorted frame numbers
+        self.window_segment: list[int] = []
+        cur: set[int] = set()
+        for need in needed:
+            if cur and len(cur | set(need)) > cap:
+                self.segments.append(np.array(sorted(cur), np.int64))
+                cur = set()
+            cur |= set(need)
+            self.window_segment.append(len(self.segments))
+        self.segments.append(np.array(sorted(cur), np.int64))
+
+        self.capacity = max((len(s) for s in self.segments), default=1)
+        self._local = [{int(f): i for i, f in enumerate(seg)}
+                       for seg in self.segments]
+        self.hw = (int(ds.nx_in), int(ds.ny_in))
+
+    @property
+    def n_segments(self) -> int:
+        return len(self.segments)
+
+    @property
+    def nbytes(self) -> int:
+        """Device bytes of ONE resident segment array."""
+        h, w = self.hw
+        return (len(self.pinned) + self.capacity) * h * w * 3
+
+    def host_segment(self, k: int) -> np.ndarray:
+        """Assemble segment ``k``'s host array (pinned block + segment
+        frames, padded to the shared shape)."""
+        h, w = self.hw
+        n = len(self.pinned) + self.capacity
+        out = np.zeros((n, h, w, 3), np.uint8)
+        if len(self.pinned):
+            out[:len(self.pinned)] = self.ds.get_frames(self.pinned)
+        seg = self.segments[k]
+        if len(seg):
+            out[len(self.pinned):len(self.pinned) + len(seg)] = \
+                self.ds.get_frames(seg)
+        return out
+
+    def rows(self, frame_numbers, k: int) -> np.ndarray:
+        """Rows into segment ``k``'s array; padding (-1) and unknown
+        frames map to row 0 (masked by frame_mask downstream)."""
+        local = self._local[k]
+        p = len(self.pinned)
+        return np.array(
+            [self._pinned_row.get(int(f), None)
+             if int(f) in self._pinned_row
+             else p + local.get(int(f), -p)
+             for f in frame_numbers], np.int32)
+
+
+def plan_spill_runs(schedule, datasets, capacity_bytes: int, rng):
+    """Regroup a window schedule for segment-rotating training.
+
+    Returns ``(pools, runs)``: per-dataset SegmentedFramePools (None where
+    the dataset has no windows) and a list of runs
+    ``(ds_i, seg_idx, [schedule positions])``. Windows keep their original
+    relative order inside a run (with a single run this reproduces the
+    plain pooled visit order exactly); run order is shuffled so videos and
+    segments interleave across the pass rather than training one video to
+    convergence before the next.
+    """
+    per_ds: dict[int, list[int]] = {}
+    for pos, (ds_i, _frames) in enumerate(schedule):
+        per_ds.setdefault(int(ds_i), []).append(pos)
+    pools: list = [None] * len(datasets)
+    runs = []
+    for ds_i, positions in per_ds.items():
+        pool = SegmentedFramePool(
+            datasets[ds_i], [schedule[p][1] for p in positions],
+            capacity_bytes)
+        pools[ds_i] = pool
+        by_seg: dict[int, list[int]] = {}
+        for w, pos in enumerate(positions):
+            by_seg.setdefault(pool.window_segment[w], []).append(pos)
+        runs.extend((ds_i, k, ps) for k, ps in sorted(by_seg.items()))
+    if len(runs) > 1:
+        order = rng.permutation(len(runs))
+        runs = [runs[int(i)] for i in order]
+    return pools, runs
+
+
+def iter_spill_segments(pools, runs):
+    """Yield ``(ds_i, seg_idx, positions, device_array)`` per run, with the
+    next segment's host-assembly + H2D dispatched on a background thread
+    while the current segment trains (the 1-slot prefetch hides the
+    ~capacity x frame-size transfer behind the run's train steps)."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=1)
+
+    def producer():
+        for ds_i, k, positions in runs:
+            arr = jax.device_put(pools[ds_i].host_segment(k))
+            q.put((ds_i, k, positions, arr))
+        q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        yield item
+    t.join()
+
+
 def augment_dgp_window(key, images, batch: dict, aug_cfg: DeviceAugmentConfig,
                        stride: float, nj: int):
     """On-device augmentation of one DGP window (visible frames only,

@@ -748,13 +748,18 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
     from deepgraphpose_tpu.train import device_data as dd
 
     use_pool = device_data
+    use_spill = False
     flow_on_device = device_flow and wt != 0
     est = sum((len(d.chunk) + len(d.visible_frames)
                + len(d.hidden_frames)) * d.nx_in * d.ny_in * 3
               for d in mds.datasets)
     if use_pool is None:
-        use_pool = ((wt == 0 or flow_on_device)
-                    and est <= dd.DEFAULT_POOL_BUDGET_BYTES)
+        pool_ok = wt == 0 or flow_on_device
+        use_pool = pool_ok and est <= dd.DEFAULT_POOL_BUDGET_BYTES
+        # over-budget pools spill to rotating HBM segments instead of
+        # dropping to the per-iteration host feed (ref hot-loop cost:
+        # dataset.py:811-821)
+        use_spill = pool_ok and not use_pool
     elif use_pool and wt != 0 and not flow_on_device:
         print("warning: device_data with wt != 0 needs device_flow=True "
               "(host-side Farneback otherwise); falling back to host "
@@ -762,12 +767,27 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
         use_pool = False
     elif use_pool and est > dd.DEFAULT_POOL_BUDGET_BYTES:
         # explicit device_data=True still respects the HBM budget: an
-        # oversized per-video pool would OOM the 16 GB v5e
-        print(f"warning: device_data=True frame pools ({est / 1e9:.1f} GB) "
-              "exceed the HBM budget; falling back to host batches")
+        # oversized resident pool would OOM the 16 GB v5e — rotate
+        # segments instead
+        print(f"device_data=True frame pools ({est / 1e9:.1f} GB) exceed "
+              "the HBM budget; using rotating segments")
         use_pool = False
+        use_spill = True
+    spill_plan = None
+    if use_spill:
+        try:
+            spill_plan = dd.plan_spill_runs(
+                schedule, mds.datasets, dd.DEFAULT_POOL_BUDGET_BYTES // 2,
+                np.random.default_rng(seed + 3))
+        except ValueError as e:
+            print(f"warning: {e}; falling back to host batches")
+            use_spill = False
     n_dp = _resolve_data_parallel(data_parallel)
-    if n_dp > 1 and not use_pool:
+    if n_dp > 1 and use_spill:
+        print(f"warning: fit_dgp(data_parallel={data_parallel}) does not "
+              "support segment-rotating pools; training single-device")
+        n_dp = 0
+    elif n_dp > 1 and not use_pool:
         print(f"warning: fit_dgp(data_parallel={data_parallel}) requires "
               "the device-data frame pools; training single-device")
         n_dp = 0
@@ -802,6 +822,21 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
               + (", on-device LK flow" if flow_on_device else "")
               + (f", data-parallel x{n_dp} windows/update"
                  if n_dp > 1 else ""))
+    elif use_spill:
+        spill_pools, spill_runs = spill_plan
+        aug_cfg_dev = (dd.DeviceAugmentConfig.reference()
+                       if augmenter is not None else None)
+        augmenter = None
+        pooled_step = dd.make_pooled_dgp_train_step(
+            model, loss_params, tx, aug_cfg_dev, visible_only=visible_only,
+            bn_train=bn_train, device_flow=flow_on_device)
+        seg_mb = max(p.nbytes for p in spill_pools if p is not None) / 1e6
+        print(f"step {step}: segment-rotating frame pools "
+              f"({est / 1e9:.1f} GB over "
+              f"{sum(p.n_segments for p in spill_pools if p is not None)} "
+              f"segments, <= 2 x {seg_mb:.0f} MB resident)"
+              + (", on-device augmentation" if aug_cfg_dev else "")
+              + (", on-device LK flow" if flow_on_device else ""))
     else:
         train_step = steps_lib.make_dgp_train_step(
             model, loss_params, tx, visible_only=visible_only,
@@ -891,6 +926,30 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
                 variables, opt_state, pools[ds_i].images, rows, b.as_jnp(),
                 jax.random.fold_in(key0, it))
             handle(it, out, variables, opt_state)
+    elif use_spill:
+        import jax.numpy as jnp
+
+        key0 = jax.random.PRNGKey(seed + 2)
+        spill_pools, spill_runs = spill_plan
+        it = 0
+        for ds_i, k, positions, pool_img in dd.iter_spill_segments(
+                spill_pools, spill_runs):
+            for pos in positions:
+                if it < start_it:
+                    it += 1
+                    continue
+                _, frames = schedule[pos]
+                vis, hid = split_window(ds_i, frames)
+                b = assemble_batch(mds.datasets[ds_i], vis, hid,
+                                   pad_to=pad_to, wt=cfg.wt,
+                                   with_images=False)
+                rows = jnp.asarray(spill_pools[ds_i].rows(b.frames, k),
+                                   jnp.int32)
+                variables, opt_state, out = pooled_step(
+                    variables, opt_state, pool_img, rows, b.as_jnp(),
+                    jax.random.fold_in(key0, it))
+                handle(it, out, variables, opt_state)
+                it += 1
     else:
         def producer():
             for it, (ds_i, frames) in enumerate(schedule):
