@@ -25,6 +25,8 @@ _LAZY_API = {
         "fit_dgp_labeledonly": ("deepgraphpose_tpu.train.fit",
                                 "fit_dgp_labeledonly"),
         "fit_dgp": ("deepgraphpose_tpu.train.fit", "fit_dgp"),
+        "fit_dlc_heads": ("deepgraphpose_tpu.train.headonly",
+                          "fit_dlc_heads"),
         # inference / evaluation (ref: deepgraphpose.models.eval)
         "estimate_pose": ("deepgraphpose_tpu.infer.predict",
                           "estimate_pose"),

@@ -139,6 +139,30 @@ def train(config, shuffle, step, batch_size, maxiters, displayiters,
                 batch_size=batch_size, **kw)
 
 
+@main.command(context_settings=CTX, name="train-heads")
+@click.argument("config", type=click.Path(exists=True))
+@click.option("--shuffle", default=1)
+@click.option("--maxiters", default=5000)
+@click.option("--displayiters", default=500)
+@click.option("--snapshot", default=None,
+              help="backbone snapshot (defaults to latest step-0)")
+@click.option("--lr", default=None, type=float)
+@click.option("--reinit-heads/--keep-heads", default=False,
+              help="re-initialise the head parameters before fitting "
+                   "(the reference preprocess/ pipeline's use case)")
+def train_heads(config, shuffle, maxiters, displayiters, snapshot, lr,
+                reinit_heads):
+    """Head-only training on cached backbone features (train/headonly.py;
+    the working redesign of the reference's legacy preprocess/ pipeline)."""
+    from pathlib import Path
+
+    from deepgraphpose_tpu.train.headonly import fit_dlc_heads
+
+    fit_dlc_heads(dlcpath=Path(config).parent, shuffle=shuffle,
+                  maxiters=maxiters, displayiters=displayiters,
+                  snapshot=snapshot, lr=lr, reinit_heads=reinit_heads)
+
+
 @main.command(context_settings=CTX)
 @click.argument("config", type=click.Path(exists=True))
 @click.option("--shuffle", default=1)

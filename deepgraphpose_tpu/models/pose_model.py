@@ -30,12 +30,17 @@ class PoseModel(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray, train: bool = False) -> dict:
+    def __call__(self, images: jnp.ndarray, train: bool = False,
+                 return_features: bool = False) -> dict:
         """images: (T, H, W, 3) float32 RGB in [0, 255].
 
         ``train=True`` runs batch-norm on batch statistics and updates the
         moving stats (pass ``mutable=["batch_stats"]``) — a from-scratch
         extension; the reference always freezes BN (ref: pose_net.py:52).
+        ``return_features=True`` adds the backbone output under
+        ``"features"`` (the head-only training tap, train/headonly.py —
+        the working redesign of the reference's preprocess/ feature dump,
+        ref: preprocess/get_morig_resnet_outputs.py).
         """
         mean = jnp.asarray(self.cfg.mean_pixel, dtype=jnp.float32)
         x = (images.astype(jnp.float32) - mean).astype(self.dtype)
@@ -51,6 +56,8 @@ class PoseModel(nn.Module):
         features, end_points = backbone(x, train)
 
         heads = {}
+        if return_features:
+            heads["features"] = features
         heads["part_pred"] = PredictionHead(
             self.cfg.num_joints, self.cfg.deconvolutionstride,
             dtype=self.dtype, name="part_pred")(features).astype(jnp.float32)

@@ -72,6 +72,12 @@ def main(argv=None) -> int:
                     help="step-2 variants from --from-step1's final")
     ap.add_argument("--it1", type=int, default=3000)
     ap.add_argument("--it2", type=int, default=5000)
+    ap.add_argument("--step0", default="snapshot-step0-final--0",
+                    help="step-0 snapshot the --step1 variants start from "
+                    "(e.g. an earlier 'snapshot-step0-18000' to probe the "
+                    "weaker-supervised regime the DGP steps target)")
+    ap.add_argument("--eval", nargs="*", default=[], metavar="SNAP",
+                    help="evaluate+record existing snapshots, no training")
     args = ap.parse_args(argv)
 
     from deepgraphpose_tpu.train.fit import (fit_dgp, fit_dgp_labeledonly,
@@ -81,6 +87,11 @@ def main(argv=None) -> int:
     _, _, train_dir = resolve_project(proj_dir, shuffle=1)
     stamp = time.strftime("%Y-%m-%d %H:%M")
 
+    for snap in args.eval:
+        res = evaluate(proj_dir, train_dir, snap)
+        record(args, dict(date=stamp, tag="tune", phase="eval",
+                          snapshot=snap, results=res))
+
     for spec in args.step1:
         parts = spec.split(":")
         tag, lr = parts[0], float(parts[1])
@@ -88,9 +99,9 @@ def main(argv=None) -> int:
         debug = f"_{tag}"
         t0 = time.time()
         print(f"=== step1 variant {tag}: lr={lr} decay={decay} "
-              f"({args.it1} iters) ===", flush=True)
+              f"from {args.step0} ({args.it1} iters) ===", flush=True)
         fit_dgp_labeledonly(
-            snapshot="snapshot-step0-final--0", dlcpath=proj_dir,
+            snapshot=args.step0, dlcpath=proj_dir,
             maxiters=args.it1, displayiters=max(args.it1 // 10, 1),
             saveiters=max(args.it1 // 2, 1), lr=lr, lr_decay=decay,
             debug=debug)
@@ -98,6 +109,7 @@ def main(argv=None) -> int:
         res = evaluate(proj_dir, train_dir, f"snapshot-step1{debug}-final--0")
         record(args, dict(date=stamp, tag="tune", phase="step1",
                           variant=tag, lr=lr, lr_decay=decay,
+                          from_step0=args.step0,
                           iters=args.it1, wall_s=wall, results=res))
 
     for spec in args.step2:
