@@ -85,19 +85,15 @@ class LabeledImagePool:
         return int(self.images.size) * self.images.dtype.itemsize
 
 
-def make_pooled_dlc_train_step(model, cfg: PoseConfig,
-                               tx: optax.GradientTransformation,
-                               aug_cfg: DeviceAugmentConfig | None,
-                               bn_train: bool = False):
-    """Step-0 train step gathering + augmenting its batch from a pool.
+def _make_dlc_pool_body(model, cfg: PoseConfig,
+                        tx: optax.GradientTransformation,
+                        aug_cfg: DeviceAugmentConfig | None,
+                        bn_train: bool):
+    """One pooled step-0 update as a pure traceable function (shared by the
+    per-iteration jit and the lax.scan superstep)."""
 
-    step(variables, opt_state, pool_images, pool_coords, pool_present,
-         pool_content, idxs, key, it)
-    """
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(variables, opt_state, pool_images, pool_coords, pool_present,
-             pool_content, idxs, key, it):
+    def body(variables, opt_state, pool_images, pool_coords, pool_present,
+             pool_content, idxs, key):
         images = jnp.take(pool_images, idxs, axis=0)
         coords = jnp.take(pool_coords, idxs, axis=0)
         present = jnp.take(pool_present, idxs, axis=0)
@@ -121,6 +117,61 @@ def make_pooled_dlc_train_step(model, cfg: PoseConfig,
         if updated is not None:
             new_vars["batch_stats"] = updated["batch_stats"]
         return new_vars, opt_state, out
+
+    return body
+
+
+def make_pooled_dlc_train_step(model, cfg: PoseConfig,
+                               tx: optax.GradientTransformation,
+                               aug_cfg: DeviceAugmentConfig | None,
+                               bn_train: bool = False):
+    """Step-0 train step gathering + augmenting its batch from a pool.
+
+    step(variables, opt_state, pool_images, pool_coords, pool_present,
+         pool_content, idxs, key, it)
+    """
+    body = _make_dlc_pool_body(model, cfg, tx, aug_cfg, bn_train)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(variables, opt_state, pool_images, pool_coords, pool_present,
+             pool_content, idxs, key, it):
+        return body(variables, opt_state, pool_images, pool_coords,
+                    pool_present, pool_content, idxs, key)
+
+    return step
+
+
+def make_pooled_dlc_scan_step(model, cfg: PoseConfig,
+                              tx: optax.GradientTransformation,
+                              aug_cfg: DeviceAugmentConfig | None,
+                              bn_train: bool = False):
+    """K pooled step-0 updates per dispatch via ``lax.scan``.
+
+    step(variables, opt_state, pool_images, pool_coords, pool_present,
+         pool_content, idxs_stack (K, bs), keys (K, ...)) ->
+    (variables, opt_state, outs) with every loss term stacked to (K,).
+
+    The per-iteration pooled step already cut H2D to an index vector, but
+    over a high-latency link (the axon tunnel) each dispatch still costs a
+    host round trip that can dwarf the ~100 ms step itself. Scanning K
+    schedule entries per call amortizes that to 1/K; the per-update math is
+    the same ``_make_dlc_pool_body`` the per-iteration step runs.
+    """
+    body = _make_dlc_pool_body(model, cfg, tx, aug_cfg, bn_train)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(variables, opt_state, pool_images, pool_coords, pool_present,
+             pool_content, idxs_stack, keys):
+        def f(carry, x):
+            v, s = carry
+            idxs, key = x
+            v, s, out = body(v, s, pool_images, pool_coords, pool_present,
+                             pool_content, idxs, key)
+            return (v, s), out
+
+        (variables, opt_state), outs = jax.lax.scan(
+            f, (variables, opt_state), (idxs_stack, keys))
+        return variables, opt_state, outs
 
     return step
 
@@ -306,6 +357,59 @@ def iter_spill_segments(pools, runs):
     t.join()
 
 
+def resolve_scan_iters(scan_iters, use_pool: bool, n_dp: int = 0) -> int:
+    """Resolve a fit API ``scan_iters`` argument to a chunk length K.
+
+    0/1 disables the superstep; ``None`` = auto — 20 on TPU backends,
+    where each dispatch's host round trip rides a high-latency link and
+    is worth amortizing, and off elsewhere (CPU tests: per-iteration
+    dispatch is cheap and every distinct chunk length costs a compile).
+    The superstep requires the device-resident pools and is single-device
+    (the DP step already amortizes via n_dp-window global batches)."""
+    if not use_pool or n_dp > 1:
+        return 0
+    if scan_iters is None:
+        return 20 if jax.default_backend() == "tpu" else 0
+    k = int(scan_iters)
+    return k if k > 1 else 0
+
+
+def iter_scan_chunks(start: int, stop: int, save_every: int | None, k: int):
+    """Yield half-open iteration ranges ``[a, b)`` of at most ``k`` steps
+    such that a snapshot boundary (``it % save_every == 0``, ``it > 0``) is
+    always the LAST iteration of its chunk — the trainer must observe the
+    post-boundary carry on host to write that snapshot. ``save_every``
+    falsy disables boundary splitting."""
+    it = start
+    while it < stop:
+        end = it + k
+        if save_every:
+            b = ((max(it, 1) + save_every - 1) // save_every) * save_every
+            end = min(end, b + 1)
+        end = min(end, stop)
+        yield it, end
+        it = end
+
+
+def iter_scan_runs(schedule, start: int, save_every: int | None, k: int):
+    """Yield ``(ds_i, a, b)`` chunks of the DGP schedule for the scan
+    superstep: at most ``k`` consecutive iterations, all drawn from the
+    same dataset (one frame pool per dispatch), with snapshot boundaries
+    chunk-final exactly as in :func:`iter_scan_chunks`."""
+    it, n = start, len(schedule)
+    while it < n:
+        ds_i = schedule[it][0]
+        end = min(it + k, n)
+        if save_every:
+            b = ((max(it, 1) + save_every - 1) // save_every) * save_every
+            end = min(end, b + 1)
+        r = it
+        while r < end and schedule[r][0] == ds_i:
+            r += 1
+        yield ds_i, it, r
+        it = r
+
+
 def augment_dgp_window(key, images, batch: dict, aug_cfg: DeviceAugmentConfig,
                        stride: float, nj: int):
     """On-device augmentation of one DGP window (visible frames only,
@@ -347,6 +451,23 @@ def make_pooled_dgp_train_step(model, params_obj: DGPLossParams,
     aug_cfg=None, matching the reference's aug-off-when-wt>0 gate
     (ref: fitdgp.py:777-779).
     """
+    body = _make_dgp_pool_body(model, params_obj, tx, aug_cfg, visible_only,
+                               bn_train, device_flow)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(variables, opt_state, pool_images, rows, batch, key):
+        return body(variables, opt_state, pool_images, rows, batch, key)
+
+    return step
+
+
+def _make_dgp_pool_body(model, params_obj: DGPLossParams,
+                        tx: optax.GradientTransformation,
+                        aug_cfg: DeviceAugmentConfig | None,
+                        visible_only: bool, bn_train: bool,
+                        device_flow: bool):
+    """One pooled DGP update as a pure traceable function (shared by the
+    per-iteration jit and the lax.scan superstep)."""
     if device_flow and aug_cfg is not None:
         # per-frame independent augmentation would destroy the temporal
         # coherence the LK flow measures (ref gate: fitdgp.py:777-779
@@ -358,8 +479,7 @@ def make_pooled_dgp_train_step(model, params_obj: DGPLossParams,
     stride = params_obj.stride
     nj = params_obj.nj
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(variables, opt_state, pool_images, rows, batch, key):
+    def body(variables, opt_state, pool_images, rows, batch, key):
         images = jnp.take(pool_images, rows, axis=0)
         if aug_cfg is not None:
             images, batch = augment_dgp_window(key, images, batch, aug_cfg,
@@ -386,5 +506,43 @@ def make_pooled_dgp_train_step(model, params_obj: DGPLossParams,
         if updated is not None:
             new_vars["batch_stats"] = updated["batch_stats"]
         return new_vars, opt_state, out
+
+    return body
+
+
+def make_pooled_dgp_scan_step(model, params_obj: DGPLossParams,
+                              tx: optax.GradientTransformation,
+                              aug_cfg: DeviceAugmentConfig | None,
+                              visible_only: bool = False,
+                              bn_train: bool = False,
+                              device_flow: bool = False):
+    """K pooled DGP updates per dispatch via ``lax.scan``.
+
+    step(variables, opt_state, pool_images, rows_stack (K, B),
+         batch_stack (every DGPBatch tensor with a leading K axis),
+         keys (K, ...)) -> (variables, opt_state, outs) with every loss
+    term stacked to (K,).
+
+    Same rationale as :func:`make_pooled_dlc_scan_step`: the schedule is
+    precomputed, so K windows' label/mask tensors stage to HBM in one
+    transfer and the chip runs K optimizer updates without a host round
+    trip between them. The per-update math is ``_make_dgp_pool_body``,
+    identical to the per-iteration step's.
+    """
+    body = _make_dgp_pool_body(model, params_obj, tx, aug_cfg, visible_only,
+                               bn_train, device_flow)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(variables, opt_state, pool_images, rows_stack, batch_stack,
+             keys):
+        def f(carry, x):
+            v, s = carry
+            rows, batch, key = x
+            v, s, out = body(v, s, pool_images, rows, batch, key)
+            return (v, s), out
+
+        (variables, opt_state), outs = jax.lax.scan(
+            f, (variables, opt_state), (rows_stack, batch_stack, keys))
+        return variables, opt_state, outs
 
     return step

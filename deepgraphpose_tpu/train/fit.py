@@ -324,7 +324,8 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
             bn_train: bool | None = None,
             device_data: bool | None = None,
             aug: bool = False,
-            data_parallel: bool | int = False) -> Path | None:
+            data_parallel: bool | int = False,
+            scan_iters: int | None = None) -> Path | None:
     """Vanilla supervised training on labeled frames (ref: fitdgp.py:53-254).
 
     ``tb_log=True`` writes TensorBoard scalar event files with the per-term
@@ -345,7 +346,11 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
     ``batch_size x n_devices`` global batch sharded over the data axis,
     gradients/BN stats all-reduce over ICI (parallel/train_dp.py; the
     reference's counterpart tower helper is never wired up,
-    ref: helpers/utils_tf.py:81-209). Requires the device-data pool."""
+    ref: helpers/utils_tf.py:81-209). Requires the device-data pool.
+    ``scan_iters`` runs K optimizer updates per dispatch via ``lax.scan``
+    (None = auto: 20 on TPU, off elsewhere) — amortizes the per-iteration
+    host round trip that otherwise dominates wall-clock over a
+    high-latency device link; identical math to the per-iteration step."""
     proj, cfg, train_dir = resolve_project(dlcpath, shuffle, trainingsetindex)
     if ckpt_lib.snapshot_exists(train_dir, step):
         print(f"snapshot-step{step}-final--0 exists; skipping fit_dlc")
@@ -487,15 +492,36 @@ def fit_dlc(snapshot: str | None = None, dlcpath: str | Path = ".",
         else:
             stream = _index_stream(len(data), bs, deterministic, rng)
             idx_put = key_put = jax.device_put
-        for it in range(maxiters):
-            idxs = next(stream)
-            if it < start_it:
-                continue
-            variables, opt_state, out = pooled_step(
-                variables, opt_state, pool.images, pool.coords, pool.present,
-                pool.content_wh, idx_put(jnp.asarray(idxs, jnp.int32)),
-                key_put(jax.random.fold_in(key0, it)), it)
-            handle(it, out, variables, opt_state)
+        scan_k = dd.resolve_scan_iters(scan_iters, True, n_dp)
+        if scan_k > 1:
+            scan_step = dd.make_pooled_dlc_scan_step(
+                model, cfg, tx, aug_cfg, bn_train=bn_train)
+            for _ in range(start_it):  # resume: replay the index stream
+                next(stream)
+            for a, b in dd.iter_scan_chunks(start_it, maxiters, saveiters,
+                                            scan_k):
+                idxs_stack = np.stack([next(stream) for _ in range(b - a)])
+                keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+                    key0, jnp.arange(a, b))
+                variables, opt_state, outs = scan_step(
+                    variables, opt_state, pool.images, pool.coords,
+                    pool.present, pool.content_wh,
+                    jax.device_put(idxs_stack.astype(np.int32)), keys)
+                outs_np = {k: np.asarray(v) for k, v in outs.items()}
+                for j, it in enumerate(range(a, b)):
+                    handle(it, {k: v[j] for k, v in outs_np.items()},
+                           variables, opt_state)
+        else:
+            for it in range(maxiters):
+                idxs = next(stream)
+                if it < start_it:
+                    continue
+                variables, opt_state, out = pooled_step(
+                    variables, opt_state, pool.images, pool.coords,
+                    pool.present, pool.content_wh,
+                    idx_put(jnp.asarray(idxs, jnp.int32)),
+                    key_put(jax.random.fold_in(key0, it)), it)
+                handle(it, out, variables, opt_state)
     else:
         def producer():
             stream = _index_stream(len(data), bs, deterministic, rng)
@@ -595,7 +621,8 @@ def fit_dgp_labeledonly(snapshot: str = "snapshot-step0-final--0",
                         device_data: bool | None = None,
                         lr: float | None = None,
                         lr_decay: bool = False,
-                        data_parallel: bool | int = False) -> Path | None:
+                        data_parallel: bool | int = False,
+                        scan_iters: int | None = None) -> Path | None:
     """Step 1: DGP objective, visible-frame losses only
     (ref: fitdgp.py:257-546 — one visible frame per iteration)."""
     return _fit_dgp_impl(
@@ -606,7 +633,7 @@ def fit_dgp_labeledonly(snapshot: str = "snapshot-step0-final--0",
         trainingsetindex=trainingsetindex, compute_dtype=compute_dtype,
         resume=resume, debug=debug, tb_log=tb_log, bn_train=bn_train,
         device_data=device_data, lr=lr, lr_decay=lr_decay,
-        data_parallel=data_parallel)
+        data_parallel=data_parallel, scan_iters=scan_iters)
 
 
 def fit_dgp(snapshot: str = "snapshot-step1-final--0",
@@ -623,7 +650,8 @@ def fit_dgp(snapshot: str = "snapshot-step1-final--0",
             lr: float | None = None,
             device_flow: bool = False,
             lr_decay: bool = False,
-            data_parallel: bool | int = False) -> Path | None:
+            data_parallel: bool | int = False,
+            scan_iters: int | None = None) -> Path | None:
     """Step 2: full semi-supervised DGP (ref: fitdgp.py:549-845).
 
     ``device_data``: keep per-video frame pools in HBM and gather/augment
@@ -636,7 +664,10 @@ def fit_dgp(snapshot: str = "snapshot-step1-final--0",
     global batch of n_devices DGP windows over a device mesh per optimizer
     update; gradients/BN stats all-reduce over ICI (parallel/train_dp.py).
     Requires the device-data pools; composes with ``bn_train``, ``aug``,
-    and ``device_flow``."""
+    and ``device_flow``.
+    ``scan_iters`` runs K schedule windows per dispatch via ``lax.scan``
+    on the single-device pool path (None = auto: 20 on TPU) — one host
+    round trip per K optimizer updates instead of per update."""
     return _fit_dgp_impl(
         snapshot=snapshot, dlcpath=dlcpath, shuffle=shuffle, step=step,
         saveiters=saveiters, displayiters=displayiters, maxiters=maxiters,
@@ -646,7 +677,7 @@ def fit_dgp(snapshot: str = "snapshot-step1-final--0",
         compute_dtype=compute_dtype, resume=resume, debug=debug,
         tb_log=tb_log, bn_train=bn_train, device_data=device_data, lr=lr,
         device_flow=device_flow, lr_decay=lr_decay,
-        data_parallel=data_parallel)
+        data_parallel=data_parallel, scan_iters=scan_iters)
 
 
 def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
@@ -655,7 +686,7 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
                   compute_dtype, resume, debug, tb_log=False,
                   bn_train=None, device_data=None, lr=None,
                   device_flow=False, lr_decay=False,
-                  data_parallel=False) -> Path | None:
+                  data_parallel=False, scan_iters=None) -> Path | None:
     proj, cfg, train_dir = resolve_project(dlcpath, shuffle, trainingsetindex)
     if ckpt_lib.snapshot_exists(train_dir, step, debug):
         print(f"snapshot-step{step}{debug}-final--0 exists; skipping")
@@ -911,6 +942,39 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
             variables, opt_state, out = pooled_step(
                 variables, opt_state, pools[ds_i].images, rows, batch, keys)
             handle(it, out, variables, opt_state)
+    elif use_pool and dd.resolve_scan_iters(scan_iters, True, n_dp) > 1:
+        import jax.numpy as jnp
+
+        scan_k = dd.resolve_scan_iters(scan_iters, True, n_dp)
+        scan_step = dd.make_pooled_dgp_scan_step(
+            model, loss_params, tx, aug_cfg_dev, visible_only=visible_only,
+            bn_train=bn_train, device_flow=flow_on_device)
+        key0 = jax.random.PRNGKey(seed + 2)
+        for ds_i, a, bnd in dd.iter_scan_runs(schedule, start_it,
+                                              save_every, scan_k):
+            rows_l, batch_l = [], []
+            for it2 in range(a, bnd):
+                _, frames = schedule[it2]
+                vis, hid = split_window(ds_i, frames)
+                bb = assemble_batch(mds.datasets[ds_i], vis, hid,
+                                    pad_to=pad_to, wt=cfg.wt,
+                                    with_images=False)
+                rows_l.append(pools[ds_i].rows(bb.frames))
+                batch_l.append(bb.as_np())
+            rows_stack = np.stack(rows_l).astype(np.int32)
+            batch_stack = {k: np.stack([x[k] for x in batch_l])
+                           for k in batch_l[0]}
+            keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+                key0, jnp.arange(a, bnd))
+            variables, opt_state, outs = scan_step(
+                variables, opt_state, pools[ds_i].images,
+                jax.device_put(rows_stack),
+                {k: jax.device_put(v) for k, v in batch_stack.items()},
+                keys)
+            outs_np = {k: np.asarray(v) for k, v in outs.items()}
+            for j, it2 in enumerate(range(a, bnd)):
+                handle(it2, {k: v[j] for k, v in outs_np.items()},
+                       variables, opt_state)
     elif use_pool:
         import jax.numpy as jnp
 

@@ -188,3 +188,98 @@ def test_pooled_step_device_flow_wt_loss_nonzero():
                                      batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(out["total_loss"]))
     assert "wt_loss" in out and np.isfinite(float(out["wt_loss"]))
+
+
+# ---------------------------------------------------------------------------
+# lax.scan superstep (K updates per dispatch)
+# ---------------------------------------------------------------------------
+
+def test_iter_scan_chunks_boundary_last():
+    chunks = list(dd.iter_scan_chunks(0, 100, 40, 16))
+    # full coverage, in order, no overlap
+    assert chunks[0][0] == 0 and chunks[-1][1] == 100
+    for (a1, b1), (a2, b2) in zip(chunks, chunks[1:]):
+        assert b1 == a2 and a1 < b1
+    # every snapshot boundary is the LAST iteration of its chunk
+    for a, b in chunks:
+        for it in range(a, b - 1):
+            assert not (it > 0 and it % 40 == 0)
+    assert all(b - a <= 17 for a, b in chunks)
+    # falsy save_every disables boundary splitting
+    assert list(dd.iter_scan_chunks(0, 32, None, 16)) == [(0, 16), (16, 32)]
+
+
+def test_iter_scan_runs_dataset_homogeneous():
+    schedule = [(0, None)] * 5 + [(1, None)] * 3 + [(0, None)] * 4
+    runs = list(dd.iter_scan_runs(schedule, 0, 4, 8))
+    assert runs[0][1] == 0 and runs[-1][2] == len(schedule)
+    for ds_i, a, b in runs:
+        assert a < b
+        assert all(schedule[i][0] == ds_i for i in range(a, b))
+        for it in range(a, b - 1):
+            assert not (it > 0 and it % 4 == 0)
+    # resume start honored
+    assert list(dd.iter_scan_runs(schedule, 6, None, 8))[0][1] == 6
+
+
+def test_resolve_scan_iters():
+    assert dd.resolve_scan_iters(0, True) == 0
+    assert dd.resolve_scan_iters(1, True) == 0
+    assert dd.resolve_scan_iters(7, True) == 7
+    assert dd.resolve_scan_iters(7, False) == 0
+    assert dd.resolve_scan_iters(7, True, n_dp=2) == 0
+    # auto is off on CPU backends (tests), on for TPU
+    want = 20 if jax.default_backend() == "tpu" else 0
+    assert dd.resolve_scan_iters(None, True) == want
+
+
+def test_fit_dlc_scan_matches_per_iter(tmp_path):
+    """The scan superstep replays the exact per-iteration stream and keys,
+    so K-chunked training must match the per-iteration pooled path."""
+    params = {}
+    for k in (0, 2):
+        root = _make_proj(tmp_path, f"s{k}")
+        snap = fit_dlc(dlcpath=root, maxiters=5, displayiters=1,
+                       saveiters=3, device_data=True, bn_train=False,
+                       jitter=False, scan_iters=k)
+        assert snap is not None
+        params[k] = _final_params(root, 0)
+    for a, b in zip(params[0], params[2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_fit_dgp_scan_matches_per_iter(tmp_path):
+    """DGP windows staged K-at-a-time (schedule tensors stacked, one
+    dispatch) must train identically to the per-iteration pooled step,
+    including across a snapshot boundary inside the run."""
+    params = {}
+    for k in (0, 3):
+        root = _make_proj(tmp_path, f"g{k}")
+        fit_dlc(dlcpath=root, maxiters=2, displayiters=1, saveiters=100,
+                device_data=True, bn_train=False, jitter=False)
+        snap2 = fit_dgp(dlcpath=root, batch_size=3, maxiters=5,
+                        displayiters=1, saveiters=2, ns=2, n_max_frames=10,
+                        nepoch=1, aug=False, device_data=True,
+                        bn_train=False, scan_iters=k)
+        assert snap2 is not None
+        params[k] = _final_params(root, 2)
+        # the boundary snapshot must exist (written from mid-scan state;
+        # the synthetic schedule has 4 iterations, so only it=2 qualifies)
+        _, _, train_dir = resolve_project(root, 1)
+        assert (Path(train_dir) / "snapshot-step2-2.ckpt").exists()
+    for a, b in zip(params[0], params[3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_fit_dgp_scan_with_aug_and_bn_smoke(tmp_path):
+    """scan + on-device augmentation + trainable BN compose: losses stay
+    finite and a final snapshot lands."""
+    root = _make_proj(tmp_path, "sa")
+    fit_dlc(dlcpath=root, maxiters=2, displayiters=1, saveiters=100,
+            bn_train=False, jitter=False)
+    snap2 = fit_dgp(dlcpath=root, batch_size=3, maxiters=4, displayiters=1,
+                    saveiters=100, ns=2, n_max_frames=10, nepoch=1,
+                    aug=True, device_data=True, bn_train=True, scan_iters=2)
+    assert snap2 is not None and snap2.exists()
