@@ -58,14 +58,14 @@ class LabeledImagePool:
     def __init__(self, data, cfg: PoseConfig):
         """``data``: a train.fit._TrainLabeledImages instance."""
         ch, cw = data.canvas_hw
-        n = len(data.items)
+        n = len(data)
         nj = cfg.num_joints
         images = np.zeros((n, ch, cw, 3), np.uint8)
         coords = np.zeros((n, nj, 2), np.float32)
         present = np.zeros((n, nj), np.float32)
         content = np.zeros((n, 2), np.float32)
         s = cfg.global_scale
-        for i, (img, c) in enumerate(data.items):
+        for i, (img, c) in enumerate(data._get(j) for j in range(n)):
             canvas, cc = data._place(img, c, s, None)
             images[i] = canvas
             present[i] = (~np.isnan(cc[:, 0])).astype(np.float32)

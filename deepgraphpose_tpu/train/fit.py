@@ -179,6 +179,12 @@ def _warm_start(variables: dict, cfg: PoseConfig, train_dir: Path,
     return variables, False
 
 
+# host-RAM budget for the eagerly decoded labeled-image set; above it the
+# set spills to per-batch decode through a small LRU (the step-0 analogue
+# of the HBM pools' segment spill tier)
+HOST_IMAGE_BUDGET_BYTES = 2_000_000_000
+
+
 class _TrainLabeledImages:
     """Labeled-frame image set for step 0, on a fixed canvas.
 
@@ -192,10 +198,18 @@ class _TrainLabeledImages:
     (scale-then-crop — the same composition the reference reaches via
     CropImage, pose_dataset.py:40-53); joints falling outside are marked
     absent exactly as the reference's cropped joints drop out.
+
+    Sets whose decoded size exceeds ``budget_bytes`` are not held in host
+    RAM: only paths/coords/shapes are retained and ``batch`` decodes
+    through an LRU of ``lru_images`` recent frames (the reference decodes
+    EVERY sample per batch from disk, pose_defaultdataset.py:269-290 — the
+    LRU only makes the common revisit cheaper).
     """
 
     def __init__(self, proj: ProjectConfig, cfg: PoseConfig,
-                 dlcpath: str | Path, jitter: bool = True):
+                 dlcpath: str | Path, jitter: bool = True,
+                 budget_bytes: int = HOST_IMAGE_BUDGET_BYTES,
+                 lru_images: int = 256):
         import cv2
 
         self.cfg = cfg
@@ -226,22 +240,60 @@ class _TrainLabeledImages:
         if not entries:
             raise FileNotFoundError(f"no labeled images under {dlcpath}")
 
+        self.lazy = False
+        self._paths: list[Path] = []
+        self._coords: list[np.ndarray] = []
+        shapes: list[tuple[int, int]] = []
+        nbytes = 0
         for ip, c in entries:
             img = cv2.imread(str(ip))
             if img is None:
                 continue
-            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-            self.items.append((img, np.asarray(c, np.float64)))
+            shapes.append(img.shape[:2])
+            self._paths.append(ip)
+            self._coords.append(np.asarray(c, np.float64))
+            nbytes += img.nbytes
+            if not self.lazy:
+                if nbytes > budget_bytes:
+                    # over budget: drop what we decoded, keep only metadata
+                    # (this first pass still sees every image once — shapes
+                    # are needed for the canvas either way)
+                    self.lazy = True
+                    self.items.clear()
+                else:
+                    self.items.append((
+                        cv2.cvtColor(img, cv2.COLOR_BGR2RGB),
+                        self._coords[-1]))
+        if not shapes:
+            raise FileNotFoundError(f"no decodable labeled images under "
+                                    f"{dlcpath}")
+        if self.lazy:
+            import functools as _ft
+
+            @_ft.lru_cache(maxsize=lru_images)
+            def _decode(i: int) -> np.ndarray:
+                img = cv2.imread(str(self._paths[i]))
+                return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+            self._decode = _decode
+            print(f"fit_dlc: labeled set ({nbytes / 1e9:.1f} GB decoded) "
+                  f"exceeds the host budget; decoding per batch "
+                  f"(LRU {lru_images})")
 
         scale = cfg.global_scale
-        hmax = max(i.shape[0] for i, _ in self.items)
-        wmax = max(i.shape[1] for i, _ in self.items)
+        hmax = max(h for h, _ in shapes)
+        wmax = max(w for _, w in shapes)
         s = int(cfg.stride)
         self.canvas_hw = (-(-int(round(hmax * scale)) // s) * s,
                           -(-int(round(wmax * scale)) // s) * s)
 
     def __len__(self):
-        return len(self.items)
+        return len(self._paths)
+
+    def _get(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        if self.lazy:
+            return self._decode(int(i)), self._coords[i]
+        return self.items[i]
 
     def _place(self, img: np.ndarray, c: np.ndarray, scale: float,
                rng: np.random.Generator | None):
@@ -276,7 +328,7 @@ class _TrainLabeledImages:
               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         imgs_l, coords_l = [], []
         for i in idxs:
-            img, c = self.items[i]
+            img, c = self._get(i)
             if self.jitter and rng is not None:
                 scale = float(rng.uniform(self.cfg.scale_jitter_lo,
                                           self.cfg.scale_jitter_up)

@@ -283,3 +283,29 @@ def test_fit_dgp_scan_with_aug_and_bn_smoke(tmp_path):
                     saveiters=100, ns=2, n_max_frames=10, nepoch=1,
                     aug=True, device_data=True, bn_train=True, scan_iters=2)
     assert snap2 is not None and snap2.exists()
+
+
+def test_labeled_images_lazy_spill_matches_eager(tmp_path):
+    """Step-0 host spill tier: over-budget labeled sets keep only
+    paths/coords and decode per batch through an LRU; batches and the
+    HBM pool built from them are identical to the eager set's."""
+    from deepgraphpose_tpu.train.fit import _TrainLabeledImages
+
+    root = _make_proj(tmp_path, "lazy")
+    proj, cfg, _ = resolve_project(root, 1)
+    eager = _TrainLabeledImages(proj, cfg, root, jitter=False)
+    lazy = _TrainLabeledImages(proj, cfg, root, jitter=False,
+                               budget_bytes=1)
+    assert lazy.lazy and not eager.lazy
+    assert len(lazy) == len(eager) > 0
+    assert lazy.canvas_hw == eager.canvas_hw
+    idxs = np.arange(len(eager))
+    ie, ce, pe = eager.batch(idxs)
+    il, cl, pl = lazy.batch(idxs)
+    np.testing.assert_array_equal(ie, il)
+    np.testing.assert_array_equal(ce, cl)
+    np.testing.assert_array_equal(pe, pl)
+    pool_e = dd.LabeledImagePool(eager, cfg)
+    pool_l = dd.LabeledImagePool(lazy, cfg)
+    np.testing.assert_array_equal(np.asarray(pool_e.images),
+                                  np.asarray(pool_l.images))
