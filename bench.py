@@ -172,6 +172,24 @@ def main():
                            "vs_baseline": round(full_fps / NORTH_STAR_FPS,
                                                 3)},
         })
+    if os.environ.get("BENCH_INT8", "1") == "1" and dtype_name == "bfloat16":
+        # int8-quantized backbone (models/quant.py; PERF.md int8 probe:
+        # conv at 304.9 vs 145.2 TOPS). Sub-measurement so a quantization
+        # failure can never cost the headline.
+        try:
+            from deepgraphpose_tpu.models.quant import quantize_model
+
+            calib = np.asarray(ring[0][:8])
+            qmodel, qvars = quantize_model(cfg, variables, calib)
+            q_fps = _measure_stream(make_infer_fn(qmodel, cfg), qvars, ring,
+                                    batch, n_frames, reps)
+            out["int8_full_frame"] = {
+                "value": round(q_fps, 1),
+                "vs_baseline": round(q_fps / NORTH_STAR_FPS, 3),
+                "vs_bf16_full_frame": round(q_fps / full_fps, 2),
+            }
+        except Exception as e:  # noqa: BLE001 — never cost the headline
+            out["int8_full_frame"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     print(json.dumps(out))
 
 

@@ -215,13 +215,16 @@ def evaluate(config, shuffle, snapshot, out, plotting):
 @click.option("--batchsize", default=None, type=int)
 @click.option("--save-as-csv/--no-csv", default=True)
 @click.option("--destfolder", default=None)
+@click.option("--int8/--no-int8", "quantize", default=False,
+              help="int8-quantized backbone (2x MXU rate; models/quant.py)")
 def analyze_videos(config, videos, shuffle, batchsize, save_as_csv,
-                   destfolder):
+                   destfolder, quantize):
     """Batched full-video inference with DLC scorer-named outputs."""
     from deepgraphpose_tpu.infer.analyze import analyze_videos as _analyze
 
     _analyze(config, list(videos), shuffle=shuffle, batchsize=batchsize,
-             save_as_csv=save_as_csv, destfolder=destfolder)
+             save_as_csv=save_as_csv, destfolder=destfolder,
+             quantize=quantize)
 
 
 @main.command(context_settings=CTX)

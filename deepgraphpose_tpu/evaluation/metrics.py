@@ -82,13 +82,17 @@ def load_evaluation_entries(dlcpath: Path, proj, cfg) -> list:
 
 def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
                  shuffle: int = 1, pcutoff: float | None = None,
-                 compute_dtype=None, decode: str = "dgp") -> dict:
+                 compute_dtype=None, decode: str = "dgp",
+                 quantize: bool = False) -> dict:
     """RMSE vs human labels over the train/test split.
 
     Runs the eval graph per labeled image (batched per unique image size)
     and reports mean train/test pixel error. ``decode`` selects the
     reference's two modes (ref: eval.py:716-760): 'dgp' = soft-argmax,
     'dlc' = hard argmax + locref offset (predict.argmax_pose_predict).
+    ``quantize=True`` evaluates the int8 backbone (models/quant.py,
+    calibrated on the labeled images themselves) — measures the PTQ
+    accuracy cost directly against human labels.
     Returns a dict with per-frame tables and summary scalars.
     """
     import jax
@@ -134,6 +138,12 @@ def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
         model, variables = init_model(cfg, jax.random.PRNGKey(0), (h, w),
                                       dtype=dtype)
         variables, _ = ckpt_lib.load_snapshot(dgp_model_file, variables)
+        if quantize:
+            from deepgraphpose_tpu.models.quant import quantize_model
+
+            calib = np.stack([images[i] for i in idxs[:16]])
+            model, variables = quantize_model(cfg, variables, calib,
+                                              dtype=dtype)
         if decode == "dlc":
             from deepgraphpose_tpu.ops.decode import argmax_pose_decode
 

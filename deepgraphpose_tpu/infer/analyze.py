@@ -70,7 +70,8 @@ def analyze_videos(config: str | Path, videos: list, shuffle: int = 1,
                    snapshot: str | None = None,
                    cropping: tuple | None = None,
                    num_outputs: int = 1,
-                   max_frames: int | None = None) -> str:
+                   max_frames: int | None = None,
+                   quantize: bool = False) -> str:
     """Analyze every video; returns the DLC scorer string.
 
     ``videos`` may contain files or directories (all videos inside are
@@ -130,7 +131,8 @@ def analyze_videos(config: str | Path, videos: list, shuffle: int = 1,
                 proj_cfg_file=config, dgp_model_file=snap_path,
                 video_file=video, output_dir=dest, shuffle=shuffle,
                 save_pose=False, crop=crop, batch_size=batchsize,
-                max_frames=max_frames, pose_cfg=pose_cfg)
+                max_frames=max_frames, pose_cfg=pose_cfg,
+                quantize=quantize)
             n = labels["x"].shape[0]
             # writes <stem>.csv + <stem>.h5 with the scorer layout
             export_pose_like_dlc(labels, scorer, names,

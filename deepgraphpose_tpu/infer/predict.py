@@ -132,11 +132,17 @@ def estimate_pose(proj_cfg_file: str | Path | None,
                   max_frames: int | None = None,
                   pose_cfg: PoseConfig | None = None,
                   variables=None, model=None,
-                  compute_dtype=None) -> dict:
+                  compute_dtype=None,
+                  quantize: bool = False,
+                  calib_frames: int = 16) -> dict:
     """Full-video inference; returns {'x','y','likelihoods'} (T, nj) arrays.
 
     API mirrors the reference's estimate_pose (ref: eval.py:217-372),
     including skip-if-CSV-exists and DLC-format CSV/H5 export.
+
+    quantize=True runs the backbone in int8 (models/quant.py; calibrated on
+    the video's first ``calib_frames`` frames) — ~2x conv rate on the TPU
+    MXU (PERF.md int8 probe), a TPU-first extension the reference lacks.
     """
     video_file = Path(video_file)
     output_dir = Path(output_dir)
@@ -172,6 +178,28 @@ def estimate_pose(proj_cfg_file: str | Path | None,
         model, variables = init_model(pose_cfg, jax.random.PRNGKey(0),
                                       (in_h, in_w), dtype=dtype)
         variables, _ = ckpt_lib.load_snapshot(dgp_model_file, variables)
+
+    from deepgraphpose_tpu.models.quant import QuantizedPoseModel
+
+    if quantize and not isinstance(model, QuantizedPoseModel):
+        from deepgraphpose_tpu.models.quant import quantize_model
+
+        import cv2
+
+        creader = VideoReader(video_file)
+        calib = []
+        for _, frame in creader.iter_frames():
+            if new_size is not None:
+                frame = cv2.resize(frame, (new_size[1], new_size[0]))
+            if crop is not None:
+                x0, y0, x1, y1 = crop
+                frame = frame[y0:y1, x0:x1]
+            calib.append(frame)
+            if len(calib) >= calib_frames:
+                break
+        creader.close()
+        model, variables = quantize_model(pose_cfg, variables,
+                                          np.stack(calib))
 
     infer = make_infer_fn(model, pose_cfg)
 

@@ -1,0 +1,250 @@
+"""Post-training int8 quantization of the pose forward pass (inference).
+
+Why this exists: PERF.md's int8 MXU probe (scripts/int8_conv_probe.py)
+measured XLA's conv engaging the v5e's int8 MXU path at 304.9 TOPS vs
+145.2 TOPS bf16 on the ResNet block4 shape — a 2.1x kernel-rate win. The
+backbone is ~93% of the 143 GFLOP/frame forward cost, so an int8 backbone
+is the single-chip lever that moves full-frame throughput past the bf16
+roofline. The reference has no quantized path (pose_net.py runs f32
+end-to-end; ref: deeplabcut/pose_estimation_tensorflow/nnet/pose_net.py);
+this is a TPU-first extension.
+
+Scheme — standard symmetric post-training quantization:
+
+* frozen batch-norm folds into each conv exactly (the reference freezes BN
+  at inference, ref: pose_net.py:52): ``W' = W * inv[oc]``,
+  ``b = beta - mean * inv`` with ``inv = gamma / sqrt(var + eps)``;
+* weights: per-output-channel symmetric int8, ``sw[oc] = max|W'[..,oc]|/127``;
+* activations: per-conv-input per-tensor symmetric int8, scale calibrated
+  as the max |x| over user-supplied calibration frames;
+* the conv itself runs int8 x int8 -> int32 on the MXU
+  (``preferred_element_type=int32``); one fused f32 epilogue applies
+  ``y = conv * (sx * sw[oc]) + b`` (+ ReLU). Residual adds stay f32;
+  max-pools and zero padding are exact in the quantized domain
+  (symmetric => zero-point 0);
+* the 3x3 deconv heads (~5 of 143 GF/frame) stay in the model dtype —
+  they set the sub-cell precision of the decode, so they are not worth
+  quantizing.
+
+The result duck-types ``PoseModel``: ``qmodel.apply(qvariables, images)``
+returns the same heads dict, so ``make_infer_fn`` / ``estimate_pose`` /
+``analyze_videos`` take it unchanged.
+
+Usage::
+
+    qmodel, qvars = quantize_model(cfg, variables, calib_images)
+    infer = make_infer_fn(qmodel, cfg)       # jitted int8 forward
+    mu, lik = infer(qvars, images_u8)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepgraphpose_tpu.core.config import PoseConfig
+from deepgraphpose_tpu.models.heads import PredictionHead
+from deepgraphpose_tpu.models.resnet import (BLOCK_UNITS, same_pad_for_stride,
+                                             unit_plan)
+
+_BN_EPS = 1e-5  # FrozenBatchNorm.epsilon
+
+
+def _fold(kernel, bn_params, bn_stats):
+    """Fold frozen BN into the preceding conv: (W', bias)."""
+    inv = bn_params["scale"] / jnp.sqrt(bn_stats["var"] + _BN_EPS)
+    return kernel * inv, bn_params["bias"] - bn_stats["mean"] * inv
+
+
+def _backbone_scope(params: dict) -> str:
+    for k in params:
+        if k.startswith("ResNetV1"):
+            return k
+    raise NotImplementedError(
+        "int8 quantization currently supports the ResNet backbones only "
+        f"(param scopes: {sorted(params)})")
+
+
+def folded_backbone_weights(variables: dict) -> dict:
+    """{site: (W_folded f32 HWIO, bias f32)} for every backbone conv."""
+    scope = _backbone_scope(variables["params"])
+    p = variables["params"][scope]
+    s = variables["batch_stats"][scope]
+    out = {"conv1": _fold(p["conv1"]["kernel"], p["bn1"], s["bn1"])}
+    for name in p:
+        if not name.startswith("block"):
+            continue
+        for conv, bn in (("conv1", "bn1"), ("conv2", "bn2"),
+                         ("conv3", "bn3"), ("shortcut_conv", "shortcut_bn")):
+            if conv in p[name]:
+                out[f"{name}/{conv}"] = _fold(p[name][conv]["kernel"],
+                                              p[name][bn], s[name][bn])
+    return out
+
+
+def _conv(x, w, stride: int, rate: int, pad, preferred=None):
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), pad, rhs_dilation=(rate, rate),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred)
+
+
+def _pad_for(k: int, stride: int, rate: int):
+    # slim: stride-1 convs are TF 'SAME'; strided convs are conv2d_same
+    # (explicit symmetric pad + VALID) — models/resnet.py BottleneckV1.
+    return "SAME" if stride == 1 else (same_pad_for_stride(k, rate),) * 2
+
+
+def _walk_backbone(cfg: PoseConfig, units, x, conv_fn):
+    """Shared backbone topology; ``conv_fn(site, x, stride, rate, relu)``.
+
+    Consumes models/resnet.py::unit_plan so the quantized forward and the
+    flax module share one structure definition.
+    """
+    x = conv_fn("conv1", x, 2, 1, relu=True)
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        "VALID")  # slim VALID 3x3/2 root max-pool
+    end_points = {}
+    for name, depth, db, stride, rate in unit_plan(units, cfg.output_stride):
+        if x.shape[-1] != depth:
+            shortcut = conv_fn(f"{name}/shortcut_conv", x, stride, 1,
+                               relu=False)
+        elif stride != 1:
+            shortcut = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 1, 1, 1),
+                (1, stride, stride, 1), "VALID")
+        else:
+            shortcut = x
+        y = conv_fn(f"{name}/conv1", x, 1, 1, relu=True)
+        y = conv_fn(f"{name}/conv2", y, stride, rate, relu=True)
+        y = conv_fn(f"{name}/conv3", y, 1, 1, relu=False)
+        x = jax.nn.relu(shortcut + y)
+        end_points[name.split("_")[0]] = x
+    return x, end_points
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantizedPoseModel:
+    """Duck-types PoseModel.apply for the inference call sites."""
+
+    cfg: PoseConfig
+    dtype: Any = jnp.bfloat16  # head compute dtype
+
+    def apply(self, qvariables: dict, images: jnp.ndarray,
+              train: bool = False, return_features: bool = False) -> dict:
+        if train:
+            raise ValueError("QuantizedPoseModel is inference-only")
+        cfg = self.cfg
+        mean = jnp.asarray(cfg.mean_pixel, dtype=jnp.float32)
+        x = images.astype(jnp.float32) - mean
+
+        qw = qvariables["qw"]
+        oscale = qvariables["oscale"]
+        bias = qvariables["bias"]
+        act_scale = qvariables["act_scale"]
+
+        def conv_fn(site, x, stride, rate, relu):
+            k = qw[site].shape[0]
+            inv_sx = 1.0 / act_scale[site]
+            xq = jnp.clip(jnp.round(x * inv_sx), -127, 127).astype(jnp.int8)
+            y = _conv(xq, qw[site], stride, rate, _pad_for(k, stride, rate),
+                      preferred=jnp.int32)
+            y = y.astype(jnp.float32) * oscale[site] + bias[site]
+            return jax.nn.relu(y) if relu else y
+
+        features, end_points = _walk_backbone(
+            cfg, BLOCK_UNITS[cfg.net_type], x, conv_fn)
+        features = features.astype(self.dtype)
+
+        heads = {}
+        if return_features:
+            heads["features"] = features
+        head = PredictionHead(cfg.num_joints, cfg.deconvolutionstride,
+                              dtype=self.dtype)
+        heads["part_pred"] = head.apply(
+            {"params": qvariables["heads"]["part_pred"]},
+            features).astype(jnp.float32)
+        if cfg.location_refinement:
+            locref_head = PredictionHead(cfg.num_joints * 2,
+                                         cfg.deconvolutionstride,
+                                         dtype=self.dtype)
+            heads["locref"] = locref_head.apply(
+                {"params": qvariables["heads"]["locref_pred"]},
+                features).astype(jnp.float32)
+        if cfg.intermediate_supervision and "intermediate_supervision" in \
+                qvariables["heads"]:
+            interm = PredictionHead(cfg.num_joints, cfg.deconvolutionstride,
+                                    dtype=self.dtype)
+            heads["part_pred_interm"] = interm.apply(
+                {"params": qvariables["heads"]["intermediate_supervision"]},
+                end_points["block3"].astype(self.dtype)).astype(jnp.float32)
+        return heads
+
+
+def _collect_forward(cfg: PoseConfig, folded: dict, images):
+    """f32 forward on folded weights -> (per-site input amax, features).
+
+    The features output doubles as the fold-parity check (tests/test_quant):
+    it must match the flax backbone bit-for-tolerance, proving the folding
+    and the _walk_backbone topology against models/resnet.py.
+    """
+    mean = jnp.asarray(cfg.mean_pixel, dtype=jnp.float32)
+    x = images.astype(jnp.float32) - mean
+    amax: dict = {}
+
+    def conv_fn(site, x, stride, rate, relu):
+        w, b = folded[site]
+        amax[site] = jnp.max(jnp.abs(x))
+        y = _conv(x, w, stride, rate, _pad_for(w.shape[0], stride, rate))
+        y = y + b
+        return jax.nn.relu(y) if relu else y
+
+    features, _ = _walk_backbone(cfg, BLOCK_UNITS[cfg.net_type], x, conv_fn)
+    return amax, features
+
+
+def quantize_model(cfg: PoseConfig, variables: dict, calib_images,
+                   dtype: Any = jnp.bfloat16, calib_batch: int = 8
+                   ) -> tuple[QuantizedPoseModel, dict]:
+    """Build the int8 model from trained f32 variables.
+
+    calib_images: (N, H, W, 3) uint8/f32 frames representative of the
+    inference distribution (a handful from the target video suffices —
+    activation ranges are dominated by the weights, not the scene).
+    """
+    if cfg.net_type not in BLOCK_UNITS:
+        raise NotImplementedError(
+            f"int8 quantization supports ResNet backbones, not {cfg.net_type}")
+    folded = folded_backbone_weights(variables)
+
+    collect = jax.jit(lambda imgs: _collect_forward(cfg, folded, imgs)[0])
+    calib = np.asarray(calib_images)
+    amax: dict[str, float] = {}
+    for i in range(0, len(calib), calib_batch):
+        batch = jnp.asarray(calib[i:i + calib_batch])
+        for site, v in collect(batch).items():
+            amax[site] = max(amax.get(site, 0.0), float(v))
+
+    qw, oscale, bias = {}, {}, {}
+    act_scale = {}
+    for site, (w, b) in folded.items():
+        w = np.asarray(w, np.float32)
+        sw = np.abs(w).reshape(-1, w.shape[-1]).max(axis=0) / 127.0
+        sw = np.maximum(sw, 1e-12)
+        qw[site] = jnp.asarray(
+            np.clip(np.rint(w / sw), -127, 127).astype(np.int8))
+        sx = max(amax.get(site, 0.0), 1e-12) / 127.0
+        act_scale[site] = jnp.float32(sx)
+        oscale[site] = jnp.asarray(sx * sw, jnp.float32)
+        bias[site] = jnp.asarray(np.asarray(b, np.float32))
+
+    heads = {k: v for k, v in variables["params"].items()
+             if k in ("part_pred", "locref_pred", "intermediate_supervision")}
+    qvariables = {"qw": qw, "oscale": oscale, "bias": bias,
+                  "act_scale": act_scale, "heads": heads}
+    return QuantizedPoseModel(cfg, dtype=dtype), qvariables

@@ -138,6 +138,40 @@ class BottleneckV1(nn.Module):
         return nn.relu(shortcut + y)
 
 
+def unit_plan(units: Sequence[int], output_stride: int):
+    """Resolved per-unit plan: (name, depth, depth_bottleneck, stride, rate).
+
+    Encodes the slim v1 stride/atrous policy once — stride 2 on the *last*
+    unit of blocks 1-3 (block4 stride 1), switching to dilated convs when
+    the accumulated stride reaches ``output_stride`` — so the flax module
+    and the int8 quantized forward (models/quant.py) consume the identical
+    structure and cannot drift. ref: tf.contrib.slim resnet_v1.resnet_v1 /
+    resnet_utils.stack_blocks_dense.
+    """
+    depths = (256, 512, 1024, 2048)
+    bottlenecks = (64, 128, 256, 512)
+    plan = []
+    current_stride = 4
+    rate = 1
+    for b, (n_units, depth, db) in enumerate(
+            zip(units, depths, bottlenecks)):
+        block_stride = 2 if b < 3 else 1
+        for u in range(n_units):
+            unit_stride = block_stride if u == n_units - 1 else 1
+            if unit_stride != 1 and current_stride >= output_stride:
+                # switch to atrous: keep resolution, grow the rate
+                effective_stride = 1
+                unit_rate = rate
+                rate = rate * unit_stride
+            else:
+                effective_stride = unit_stride
+                unit_rate = rate
+            plan.append((f"block{b + 1}_unit{u + 1}", depth, db,
+                         effective_stride, unit_rate))
+            current_stride *= effective_stride
+    return plan
+
+
 class ResNetV1(nn.Module):
     """ResNet-v1 trunk with output_stride control (no global pool / fc)."""
 
@@ -155,34 +189,13 @@ class ResNetV1(nn.Module):
                     dtype=self.dtype, name="conv1")(x)
         x = nn.relu(FrozenBatchNorm(dtype=self.dtype, name="bn1")(x, train))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
-        current_stride = 4
-        rate = 1
 
-        depths = (256, 512, 1024, 2048)
-        bottlenecks = (64, 128, 256, 512)
         end_points = {}
-        for b, (n_units, depth, db) in enumerate(
-                zip(self.units, depths, bottlenecks)):
-            # slim v1: stride 2 on the *last* unit of blocks 1-3, block4 stride 1
-            block_stride = 2 if b < 3 else 1
-            for u in range(n_units):
-                unit_stride = block_stride if u == n_units - 1 else 1
-                if unit_stride != 1 and current_stride >= self.output_stride:
-                    # switch to atrous: keep resolution, grow the rate
-                    effective_stride = 1
-                    unit_rate = rate
-                    next_rate = rate * unit_stride
-                else:
-                    effective_stride = unit_stride
-                    unit_rate = rate
-                    next_rate = rate
-                x = BottleneckV1(
-                    depth=depth, depth_bottleneck=db, stride=effective_stride,
-                    rate=unit_rate, dtype=self.dtype,
-                    name=f"block{b + 1}_unit{u + 1}")(x, train)
-                current_stride *= effective_stride
-                rate = next_rate
-            end_points[f"block{b + 1}"] = x
+        for name, depth, db, stride, rate in unit_plan(
+                self.units, self.output_stride):
+            x = BottleneckV1(depth=depth, depth_bottleneck=db, stride=stride,
+                             rate=rate, dtype=self.dtype, name=name)(x, train)
+            end_points[name.split("_")[0]] = x
         return x, end_points
 
 

@@ -1,0 +1,107 @@
+"""int8 post-training quantization (models/quant.py).
+
+The fold-parity test proves BN folding + the functional backbone walk
+against the flax module exactly; the int8 tests bound the quantization
+error of the full forward and check the duck-typed inference call sites.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepgraphpose_tpu.core.config import PoseConfig
+from deepgraphpose_tpu.models.pose_model import init_model
+from deepgraphpose_tpu.models import quant as quant_lib
+
+
+def _setup(nj=4, hw=(75, 83), net="resnet_50", seed=0):
+    cfg = PoseConfig(num_joints=nj, net_type=net)
+    model, variables = init_model(cfg, jax.random.PRNGKey(seed), hw)
+    rng = np.random.default_rng(seed)
+    images = rng.integers(0, 255, (2, *hw, 3)).astype(np.float32)
+    return cfg, model, variables, images
+
+
+def test_fold_parity_exact():
+    """Folded-weight f32 walk == flax backbone (topology + BN fold)."""
+    cfg, model, variables, images = _setup()
+    # give the frozen BN non-trivial stats/affine so folding is exercised
+    rng = np.random.default_rng(1)
+
+    def jitter(tree, lo, hi):
+        return jax.tree_util.tree_map(
+            lambda x: x * jnp.asarray(rng.uniform(lo, hi, x.shape),
+                                      x.dtype), tree)
+
+    variables = {
+        "params": variables["params"],
+        "batch_stats": jitter(variables["batch_stats"], 0.5, 2.0),
+    }
+    variables["params"] = jax.tree_util.tree_map(jnp.asarray,
+                                                 variables["params"])
+
+    heads = model.apply(variables, jnp.asarray(images),
+                        return_features=True)
+    folded = quant_lib.folded_backbone_weights(variables)
+    _, feats = jax.jit(
+        lambda im: quant_lib._collect_forward(cfg, folded, im))(
+            jnp.asarray(images))
+    f = np.asarray(feats)
+    r = np.asarray(heads["features"])
+    # fold is algebraically exact; only float reassociation differs
+    # (measured ~6e-7 relative at 50 layers deep)
+    assert np.abs(f - r).max() <= 1e-5 * np.abs(r).max()
+
+
+def test_int8_forward_close_and_ducktyped():
+    cfg, model, variables, images = _setup()
+    qmodel, qvars = quant_lib.quantize_model(cfg, variables, images,
+                                             dtype=jnp.float32)
+
+    ref = model.apply(variables, jnp.asarray(images))
+    out = jax.jit(qmodel.apply)(qvars, jnp.asarray(images))
+    assert set(out) == set(ref)
+    for k in ("part_pred", "locref"):
+        r = np.asarray(ref[k])
+        q = np.asarray(out[k])
+        assert np.all(np.isfinite(q))
+        scale = np.abs(r).max() + 1e-9
+        err = np.abs(q - r).max() / scale
+        # int8 PTQ across ~50 stacked convs: a few percent relative error
+        assert err < 0.25, f"{k}: rel err {err:.3f}"
+        corr = np.corrcoef(r.ravel(), q.ravel())[0, 1]
+        assert corr > 0.99, f"{k}: corr {corr:.4f}"
+
+    # weights really are int8
+    assert all(v.dtype == jnp.int8 for v in qvars["qw"].values())
+
+    # decode argmax agreement: the quantized scoremap must peak in (nearly)
+    # the same cell
+    r = np.asarray(ref["part_pred"])
+    q = np.asarray(out["part_pred"])
+    b, h, w, nj = r.shape
+    ri = r.reshape(b, -1, nj).argmax(1)
+    qi = q.reshape(b, -1, nj).argmax(1)
+    rrc = np.stack(np.unravel_index(ri, (h, w)), -1)
+    qrc = np.stack(np.unravel_index(qi, (h, w)), -1)
+    dist = np.abs(rrc - qrc).max(-1)
+    assert (dist <= 1).mean() >= 0.75
+
+
+def test_infer_fn_accepts_quantized_model():
+    from deepgraphpose_tpu.infer.predict import make_infer_fn
+
+    cfg, model, variables, images = _setup(hw=(64, 64))
+    qmodel, qvars = quant_lib.quantize_model(cfg, variables, images)
+    infer = make_infer_fn(qmodel, cfg)
+    mu, lik = infer(qvars, jnp.asarray(images, jnp.uint8))
+    assert mu.shape == (2, cfg.num_joints, 2)
+    assert np.all(np.isfinite(np.asarray(mu)))
+    assert np.all((np.asarray(lik) >= 0) & (np.asarray(lik) <= 1))
+
+
+def test_mobilenet_rejected():
+    cfg = PoseConfig(num_joints=3, net_type="mobilenet_v2_1.0")
+    with pytest.raises(NotImplementedError):
+        quant_lib.quantize_model(cfg, {"params": {}}, np.zeros((1, 8, 8, 3)))
