@@ -188,6 +188,18 @@ def main():
                 "vs_baseline": round(q_fps / NORTH_STAR_FPS, 3),
                 "vs_bf16_full_frame": round(q_fps / full_fps, 2),
             }
+            if mode == "dynamic":
+                from deepgraphpose_tpu.infer.dynamic import \
+                    make_crop_infer_fn as _mk
+
+                qcrop_fn = _mk(qmodel, cfg, (ch, cw))
+                q_dyn = _measure_stream(
+                    lambda v, im: qcrop_fn(v, im, center), qvars, ring,
+                    batch, n_frames, reps)
+                out["int8_trackedcrop"] = {
+                    "value": round(q_dyn, 1),
+                    "vs_baseline": round(q_dyn / NORTH_STAR_FPS, 3),
+                }
         except Exception as e:  # noqa: BLE001 — never cost the headline
             out["int8_full_frame"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     print(json.dumps(out))

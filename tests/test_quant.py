@@ -105,3 +105,15 @@ def test_mobilenet_rejected():
     cfg = PoseConfig(num_joints=3, net_type="mobilenet_v2_1.0")
     with pytest.raises(NotImplementedError):
         quant_lib.quantize_model(cfg, {"params": {}}, np.zeros((1, 8, 8, 3)))
+
+
+def test_dynamic_crop_accepts_quantized_model():
+    from deepgraphpose_tpu.infer.dynamic import make_crop_infer_fn
+
+    cfg, model, variables, images = _setup(hw=(64, 80))
+    qmodel, qvars = quant_lib.quantize_model(cfg, variables, images)
+    fn = make_crop_infer_fn(qmodel, cfg, (48, 64))
+    center = jnp.asarray([32.0, 40.0])
+    mu, lik = fn(qvars, jnp.asarray(images, jnp.uint8), center)
+    assert mu.shape == (2, cfg.num_joints, 2)
+    assert np.all(np.isfinite(np.asarray(mu)))
