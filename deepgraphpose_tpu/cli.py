@@ -409,15 +409,18 @@ def run_demo(dlcpath, dlcsnapshot, shuffle, batch_size, test):
 @click.option("--width", default=None, type=int)
 @click.option("--platforms", default="tpu,cpu",
               help="comma-separated export platforms")
+@click.option("--int8/--no-int8", "quantize", default=False,
+              help="export the int8-quantized backbone (models/quant.py)")
 def export_model(config, out, snapshot, shuffle, batch_size, height, width,
-                 platforms):
+                 platforms, quantize):
     """Freeze a trained snapshot into a StableHLO serving artifact."""
     from deepgraphpose_tpu.infer.serving import export_from_snapshot
 
     in_hw = (height, width) if height and width else None
     path = export_from_snapshot(
         config, snapshot, out, batch_size=batch_size, in_hw=in_hw,
-        shuffle=shuffle, platforms=tuple(platforms.split(",")))
+        shuffle=shuffle, platforms=tuple(platforms.split(",")),
+        quantize=quantize)
     click.echo(f"wrote {path} (+ {path}.json metadata)")
 
 

@@ -58,6 +58,9 @@ def export_infer_artifact(model, cfg: PoseConfig, variables,
                  "coord * stride + stride/2", "likelihood (B, nj)"],
         platforms=list(platforms),
     )
+    from deepgraphpose_tpu.models.quant import QuantizedPoseModel
+
+    meta["quantized_int8"] = isinstance(model, QuantizedPoseModel)
     Path(str(out_path) + _META_SUFFIX).write_text(json.dumps(meta, indent=1))
     return out_path
 
@@ -66,10 +69,14 @@ def export_from_snapshot(config_path: str | Path, snapshot: str | Path,
                          out_path: str | Path, batch_size: int = 16,
                          in_hw: tuple[int, int] | None = None,
                          shuffle: int = 1,
-                         platforms: tuple = ("tpu", "cpu")) -> Path:
+                         platforms: tuple = ("tpu", "cpu"),
+                         quantize: bool = False) -> Path:
     """Export a trained snapshot from a DLC project layout.
 
     ``in_hw`` defaults to the first project video's frame size.
+    ``quantize=True`` exports the int8-quantized backbone (models/quant.py,
+    calibrated on frames from the first project video) — the serving
+    artifact then runs the MXU's 2x int8 conv rate on TPU hosts.
     """
     from deepgraphpose_tpu.models.pose_model import init_model
     from deepgraphpose_tpu.train.fit import (dgp_video_sets, resolve_project,
@@ -96,6 +103,24 @@ def export_from_snapshot(config_path: str | Path, snapshot: str | Path,
     if not warmed:
         raise FileNotFoundError(f"snapshot {snapshot} not found under "
                                 f"{train_dir}")
+    if quantize:
+        from deepgraphpose_tpu.data.video import VideoReader
+        from deepgraphpose_tpu.models.quant import quantize_model
+
+        vids = dgp_video_sets(proj, proj_dir)
+        reader = VideoReader(vids[0])
+        calib = []
+        for _, frame in reader.iter_frames():
+            if frame.shape[:2] == tuple(in_hw):
+                calib.append(frame)
+            if len(calib) >= 8:
+                break
+        reader.close()
+        if not calib:
+            raise ValueError(
+                f"no {in_hw} frames in {vids[0]} to calibrate on; pass "
+                "in_hw matching the project video")
+        model, variables = quantize_model(cfg, variables, np.stack(calib))
     return export_infer_artifact(model, cfg, variables, in_hw, batch_size,
                                  out_path, platforms)
 

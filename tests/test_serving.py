@@ -87,3 +87,31 @@ def test_export_missing_snapshot_raises(tmp_path):
                              "snapshot-step9-final--0",
                              tmp_path / "x.stablehlo", batch_size=1,
                              in_hw=(48, 64), platforms=("cpu",))
+
+
+def test_export_int8_quantized_roundtrip(tmp_path):
+    from deepgraphpose_tpu.infer.predict import infer_forward
+    from deepgraphpose_tpu.models.quant import quantize_model
+
+    cfg = PoseConfig(num_joints=3, net_type="resnet_50",
+                     all_joints_names=["a", "b", "c"])
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (48, 64))
+    rng = np.random.default_rng(0)
+    calib = rng.integers(0, 255, (2, 48, 64, 3)).astype(np.float32)
+    # f32 heads: bf16 constant-folding in the exported artifact reassociates
+    # differently from the live jit (~0.006 cells); f32 pins them together
+    qmodel, qvars = quantize_model(cfg, variables, calib,
+                                   dtype=jax.numpy.float32)
+
+    art = tmp_path / "pose_int8.stablehlo"
+    export_infer_artifact(qmodel, cfg, qvars, (48, 64), batch_size=2,
+                          out_path=art, platforms=("cpu",))
+    call, meta = load_infer_artifact(art)
+    assert meta["quantized_int8"] is True
+
+    images = rng.integers(0, 255, (2, 48, 64, 3), dtype=np.uint8)
+    mu_art, lik_art = call(images)
+    mu_ref, lik_ref = infer_forward(qmodel, cfg, qvars,
+                                    jax.numpy.asarray(images))
+    np.testing.assert_allclose(np.asarray(mu_art), np.asarray(mu_ref),
+                               rtol=1e-4, atol=1e-4)
