@@ -43,6 +43,31 @@ def _depth(channels: int, multiplier: float, divisor: int = 8) -> int:
     return v
 
 
+def unit_plan(width: float, output_stride: int):
+    """Resolved per-unit plan: (name, expansion, out_ch, stride, rate).
+
+    Encodes the stride/atrous policy once so the flax module and the int8
+    quantized forward (models/quant.py) share one structure definition —
+    same pattern as models/resnet.py::unit_plan.
+    """
+    plan = []
+    current_stride = 2  # after the stride-2 stem
+    rate = 1
+    for b, (exp, out_c, n_units, first_stride) in enumerate(_V2_SPEC):
+        out_ch = _depth(out_c, width)
+        for u in range(n_units):
+            stride = first_stride if u == 0 else 1
+            if stride != 1 and current_stride >= output_stride:
+                unit_stride, unit_rate = 1, rate
+                rate *= stride
+            else:
+                unit_stride, unit_rate = stride, rate
+            plan.append((f"block{b}_unit{u}", exp, out_ch, unit_stride,
+                         unit_rate))
+            current_stride *= unit_stride
+    return plan
+
+
 class InvertedResidual(nn.Module):
     expansion: int
     out_ch: int
@@ -88,24 +113,13 @@ class MobileNetV2(nn.Module):
         x = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
                     dtype=self.dtype, name="conv_stem")(x)
         x = nn.relu6(bn("stem_bn", x))
-        current_stride = 2
-        rate = 1
         end_points = {}
-        for b, (exp, out_c, n_units, first_stride) in enumerate(_V2_SPEC):
-            out_ch = _depth(out_c, self.width)
-            for u in range(n_units):
-                stride = first_stride if u == 0 else 1
-                if stride != 1 and current_stride >= self.output_stride:
-                    unit_stride, unit_rate = 1, rate
-                    rate *= stride
-                else:
-                    unit_stride, unit_rate = stride, rate
-                x = InvertedResidual(
-                    expansion=exp, out_ch=out_ch, stride=unit_stride,
-                    rate=unit_rate, dtype=self.dtype,
-                    name=f"block{b}_unit{u}")(x, train)
-                current_stride *= unit_stride
-            end_points[f"block{b}"] = x
+        for name, exp, out_ch, unit_stride, unit_rate in unit_plan(
+                self.width, self.output_stride):
+            x = InvertedResidual(
+                expansion=exp, out_ch=out_ch, stride=unit_stride,
+                rate=unit_rate, dtype=self.dtype, name=name)(x, train)
+            end_points[name.split("_")[0]] = x
         # final 1x1: 1280 channels floor (TF slim keeps >= 1280 at width<1)
         last = _depth(1280, max(self.width, 1.0))
         x = nn.Conv(last, (1, 1), use_bias=False, dtype=self.dtype,

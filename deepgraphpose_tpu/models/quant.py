@@ -24,7 +24,10 @@ Scheme — standard symmetric post-training quantization:
   (symmetric => zero-point 0);
 * the 3x3 deconv heads (~5 of 143 GF/frame) stay in the model dtype —
   they set the sub-cell precision of the decode, so they are not worth
-  quantizing.
+  quantizing;
+* backbones: every ResNet variant, and MobileNetV2 (all widths) with the
+  dense 1x1/stem/head convs quantized and the VPU-bound depthwise 3x3s
+  kept float.
 
 The result duck-types ``PoseModel``: ``qmodel.apply(qvariables, images)``
 returns the same heads dict, so ``make_infer_fn`` / ``estimate_pose`` /
@@ -60,20 +63,37 @@ def _fold(kernel, bn_params, bn_stats):
     return kernel * inv, bn_params["bias"] - bn_stats["mean"] * inv
 
 
-def _backbone_scope(params: dict) -> str:
+def _backbone_scope(params: dict) -> tuple[str, str]:
+    """-> (kind, scope) where kind is 'resnet' | 'mobilenet'."""
     for k in params:
         if k.startswith("ResNetV1"):
-            return k
+            return "resnet", k
+        if k.startswith("MobileNetV2"):
+            return "mobilenet", k
     raise NotImplementedError(
-        "int8 quantization currently supports the ResNet backbones only "
+        "int8 quantization supports the ResNet and MobileNetV2 backbones "
         f"(param scopes: {sorted(params)})")
 
 
 def folded_backbone_weights(variables: dict) -> dict:
     """{site: (W_folded f32 HWIO, bias f32)} for every backbone conv."""
-    scope = _backbone_scope(variables["params"])
+    kind, scope = _backbone_scope(variables["params"])
     p = variables["params"][scope]
     s = variables["batch_stats"][scope]
+    if kind == "mobilenet":
+        out = {"conv_stem": _fold(p["conv_stem"]["kernel"], p["stem_bn"],
+                                  s["stem_bn"]),
+               "conv_head": _fold(p["conv_head"]["kernel"], p["head_bn"],
+                                  s["head_bn"])}
+        for name in p:
+            if not name.startswith("block"):
+                continue
+            for conv in ("expand", "depthwise", "project"):
+                if conv in p[name]:
+                    out[f"{name}/{conv}"] = _fold(
+                        p[name][conv]["kernel"], p[name][f"{conv}_bn"],
+                        s[name][f"{conv}_bn"])
+        return out
     out = {"conv1": _fold(p["conv1"]["kernel"], p["bn1"], s["bn1"])}
     for name in p:
         if not name.startswith("block"):
@@ -86,17 +106,44 @@ def folded_backbone_weights(variables: dict) -> dict:
     return out
 
 
-def _conv(x, w, stride: int, rate: int, pad, preferred=None):
+def _conv(x, w, stride: int, rate: int, pad, preferred=None,
+          groups: int = 1):
     return jax.lax.conv_general_dilated(
         x, w, (stride, stride), pad, rhs_dilation=(rate, rate),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=preferred)
+        feature_group_count=groups, preferred_element_type=preferred)
 
 
 def _pad_for(k: int, stride: int, rate: int):
     # slim: stride-1 convs are TF 'SAME'; strided convs are conv2d_same
     # (explicit symmetric pad + VALID) — models/resnet.py BottleneckV1.
     return "SAME" if stride == 1 else (same_pad_for_stride(k, rate),) * 2
+
+
+def _walk_mobilenet(cfg: PoseConfig, width: float, x, conv_fn, dw_fn):
+    """MobileNetV2 topology over models/mobilenet.py::unit_plan.
+
+    ``conv_fn`` serves the dense (1x1 / stem) convs — the quantized FLOP
+    bulk; ``dw_fn(site, x, stride, rate)`` serves the depthwise 3x3s, which
+    stay float: they are VPU-bound (one MAC per pixel-channel), so int8
+    gains nothing on the MXU, and grouped int8 conv lowering is uneven.
+    """
+    from deepgraphpose_tpu.models import mobilenet as mnet
+
+    x = conv_fn("conv_stem", x, 2, 1, relu=True)
+    end_points = {}
+    for name, exp, out_ch, stride, rate in mnet.unit_plan(
+            width, cfg.output_stride):
+        y = x
+        if exp != 1:
+            y = conv_fn(f"{name}/expand", y, 1, 1, relu=True)
+        y = dw_fn(f"{name}/depthwise", y, stride, rate)
+        y = conv_fn(f"{name}/project", y, 1, 1, relu=False)
+        x = x + y if (stride == 1 and x.shape[-1] == y.shape[-1]) else y
+        end_points[name.split("_")[0]] = x
+    x = conv_fn("conv_head", x, 1, 1, relu=True)
+    end_points["head"] = x
+    return x, end_points
 
 
 def _walk_backbone(cfg: PoseConfig, units, x, conv_fn):
@@ -147,18 +194,35 @@ class QuantizedPoseModel:
         oscale = qvariables["oscale"]
         bias = qvariables["bias"]
         act_scale = qvariables["act_scale"]
+        mobile = cfg.net_type.startswith("mobilenet")
+        act = jax.nn.relu6 if mobile else jax.nn.relu
 
         def conv_fn(site, x, stride, rate, relu):
             k = qw[site].shape[0]
             inv_sx = 1.0 / act_scale[site]
             xq = jnp.clip(jnp.round(x * inv_sx), -127, 127).astype(jnp.int8)
-            y = _conv(xq, qw[site], stride, rate, _pad_for(k, stride, rate),
+            y = _conv(xq, qw[site], stride, rate,
+                      "SAME" if mobile else _pad_for(k, stride, rate),
                       preferred=jnp.int32)
             y = y.astype(jnp.float32) * oscale[site] + bias[site]
-            return jax.nn.relu(y) if relu else y
+            return act(y) if relu else y
 
-        features, end_points = _walk_backbone(
-            cfg, BLOCK_UNITS[cfg.net_type], x, conv_fn)
+        if mobile:
+            from deepgraphpose_tpu.models.mobilenet import WIDTHS
+
+            dw = qvariables["dw"]
+
+            def dw_fn(site, x, stride, rate):
+                w, b = dw[site]["w"], dw[site]["b"]
+                y = _conv(x, w, stride, rate, "SAME",
+                          groups=w.shape[-1])
+                return jax.nn.relu6(y + b)
+
+            features, end_points = _walk_mobilenet(
+                cfg, WIDTHS[cfg.net_type], x, conv_fn, dw_fn)
+        else:
+            features, end_points = _walk_backbone(
+                cfg, BLOCK_UNITS[cfg.net_type], x, conv_fn)
         features = features.astype(self.dtype)
 
         heads = {}
@@ -196,15 +260,30 @@ def _collect_forward(cfg: PoseConfig, folded: dict, images):
     mean = jnp.asarray(cfg.mean_pixel, dtype=jnp.float32)
     x = images.astype(jnp.float32) - mean
     amax: dict = {}
+    mobile = cfg.net_type.startswith("mobilenet")
+    act = jax.nn.relu6 if mobile else jax.nn.relu
 
     def conv_fn(site, x, stride, rate, relu):
         w, b = folded[site]
         amax[site] = jnp.max(jnp.abs(x))
-        y = _conv(x, w, stride, rate, _pad_for(w.shape[0], stride, rate))
+        y = _conv(x, w, stride, rate,
+                  "SAME" if mobile else _pad_for(w.shape[0], stride, rate))
         y = y + b
-        return jax.nn.relu(y) if relu else y
+        return act(y) if relu else y
 
-    features, _ = _walk_backbone(cfg, BLOCK_UNITS[cfg.net_type], x, conv_fn)
+    if mobile:
+        from deepgraphpose_tpu.models.mobilenet import WIDTHS
+
+        def dw_fn(site, x, stride, rate):
+            w, b = folded[site]
+            y = _conv(x, w, stride, rate, "SAME", groups=w.shape[-1])
+            return jax.nn.relu6(y + b)
+
+        features, _ = _walk_mobilenet(cfg, WIDTHS[cfg.net_type], x,
+                                      conv_fn, dw_fn)
+    else:
+        features, _ = _walk_backbone(cfg, BLOCK_UNITS[cfg.net_type], x,
+                                     conv_fn)
     return amax, features
 
 
@@ -216,10 +295,16 @@ def quantize_model(cfg: PoseConfig, variables: dict, calib_images,
     calib_images: (N, H, W, 3) uint8/f32 frames representative of the
     inference distribution (a handful from the target video suffices —
     activation ranges are dominated by the weights, not the scene).
+
+    MobileNetV2: the dense (1x1 / stem / head) convs quantize; depthwise
+    3x3s stay float (VPU-bound — int8 gains nothing on the MXU).
     """
-    if cfg.net_type not in BLOCK_UNITS:
+    from deepgraphpose_tpu.models.mobilenet import WIDTHS
+
+    if cfg.net_type not in BLOCK_UNITS and cfg.net_type not in WIDTHS:
         raise NotImplementedError(
-            f"int8 quantization supports ResNet backbones, not {cfg.net_type}")
+            "int8 quantization supports ResNet and MobileNetV2 backbones, "
+            f"not {cfg.net_type}")
     folded = folded_backbone_weights(variables)
 
     collect = jax.jit(lambda imgs: _collect_forward(cfg, folded, imgs)[0])
@@ -232,7 +317,12 @@ def quantize_model(cfg: PoseConfig, variables: dict, calib_images,
 
     qw, oscale, bias = {}, {}, {}
     act_scale = {}
+    dw = {}
     for site, (w, b) in folded.items():
+        if site.endswith("/depthwise"):
+            dw[site] = {"w": jnp.asarray(np.asarray(w, np.float32)),
+                        "b": jnp.asarray(np.asarray(b, np.float32))}
+            continue
         w = np.asarray(w, np.float32)
         sw = np.abs(w).reshape(-1, w.shape[-1]).max(axis=0) / 127.0
         sw = np.maximum(sw, 1e-12)
@@ -247,4 +337,6 @@ def quantize_model(cfg: PoseConfig, variables: dict, calib_images,
              if k in ("part_pred", "locref_pred", "intermediate_supervision")}
     qvariables = {"qw": qw, "oscale": oscale, "bias": bias,
                   "act_scale": act_scale, "heads": heads}
+    if dw:
+        qvariables["dw"] = dw
     return QuantizedPoseModel(cfg, dtype=dtype), qvariables

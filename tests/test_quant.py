@@ -101,10 +101,42 @@ def test_infer_fn_accepts_quantized_model():
     assert np.all((np.asarray(lik) >= 0) & (np.asarray(lik) <= 1))
 
 
-def test_mobilenet_rejected():
-    cfg = PoseConfig(num_joints=3, net_type="mobilenet_v2_1.0")
+def test_unknown_backbone_rejected():
+    bad = PoseConfig(num_joints=3, net_type="vit_b16")
     with pytest.raises(NotImplementedError):
-        quant_lib.quantize_model(cfg, {"params": {}}, np.zeros((1, 8, 8, 3)))
+        quant_lib.quantize_model(bad, {"params": {}}, np.zeros((1, 8, 8, 3)))
+
+
+def test_mobilenet_fold_parity_and_int8():
+    cfg, model, variables, images = _setup(hw=(64, 80),
+                                           net="mobilenet_v2_0.35")
+    rng = np.random.default_rng(1)
+    variables = {
+        "params": variables["params"],
+        "batch_stats": jax.tree_util.tree_map(
+            lambda x: x * jnp.asarray(rng.uniform(0.5, 2.0, x.shape),
+                                      x.dtype), variables["batch_stats"]),
+    }
+    heads = model.apply(variables, jnp.asarray(images), return_features=True)
+    folded = quant_lib.folded_backbone_weights(variables)
+    _, feats = jax.jit(
+        lambda im: quant_lib._collect_forward(cfg, folded, im))(
+            jnp.asarray(images))
+    f = np.asarray(feats)
+    r = np.asarray(heads["features"])
+    assert np.abs(f - r).max() <= 1e-5 * np.abs(r).max() + 1e-6
+
+    qmodel, qvars = quant_lib.quantize_model(cfg, variables, images,
+                                             dtype=jnp.float32)
+    out = jax.jit(qmodel.apply)(qvars, jnp.asarray(images))
+    q = np.asarray(out["part_pred"])
+    rp = np.asarray(model.apply(variables, jnp.asarray(images))["part_pred"])
+    assert np.all(np.isfinite(q))
+    corr = np.corrcoef(rp.ravel(), q.ravel())[0, 1]
+    assert corr > 0.99, f"corr {corr:.4f}"
+    # depthwise sites stayed float
+    assert any(s.endswith("/depthwise") for s in qvars["dw"])
+    assert not any(s.endswith("/depthwise") for s in qvars["qw"])
 
 
 def test_dynamic_crop_accepts_quantized_model():
