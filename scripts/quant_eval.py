@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""int8 PTQ accuracy on the real Reaching fixture (EVAL.md / PERF.md).
+
+Evaluates the best trained snapshots with the bf16 model and the int8
+backbone (models/quant.py) over the full 55-frame labeled table — the
+train/test RMSE delta IS the quantization cost a user pays for the ~2x
+MXU rate (PERF.md int8 probe).
+
+Usage: python scripts/quant_eval.py [--workdir /tmp/dgp_eval5]
+                                    [--snapshots snapshot-step0-final--0 ...]
+Prints one JSON line per (snapshot, decode, quantized) combination and a
+final summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", type=Path, default=Path("/tmp/dgp_eval5"))
+    ap.add_argument("--snapshots", nargs="*",
+                    default=["snapshot-step0-final--0"])
+    ap.add_argument("--decodes", nargs="*", default=["dlc", "dgp"])
+    args = ap.parse_args()
+
+    from deepgraphpose_tpu.evaluation.metrics import evaluate_dgp
+    from deepgraphpose_tpu.train.fit import resolve_project
+    from deepgraphpose_tpu.utils.compile_cache import ensure_compile_cache
+
+    ensure_compile_cache()
+    proj_dir = args.workdir / "Reaching-Mackenzie-2018-08-30"
+    _, _, train_dir = resolve_project(proj_dir, shuffle=1)
+    cfg_file = proj_dir / "config.yaml"
+
+    rows = []
+    for snap in args.snapshots:
+        snap_path = Path(train_dir) / f"{snap}.ckpt"
+        for decode in args.decodes:
+            for q in (False, True):
+                r = evaluate_dgp(cfg_file, snap_path, decode=decode,
+                                 quantize=q)
+                row = dict(snapshot=snap, decode=decode, int8=q,
+                           train_rmse=round(r["train_error"], 3),
+                           test_rmse=round(r["test_error"], 3))
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+    print(json.dumps({"rows": rows}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
