@@ -250,8 +250,14 @@ class QuantizedPoseModel:
         return heads
 
 
-def _collect_forward(cfg: PoseConfig, folded: dict, images):
+def _collect_forward(cfg: PoseConfig, folded: dict, images,
+                     percentile: float | None = None):
     """f32 forward on folded weights -> (per-site input amax, features).
+
+    ``percentile`` (e.g. 99.9) replaces the max-|x| range statistic with a
+    clipped one — the standard PTQ defense when a few activation outliers
+    would otherwise stretch the int8 grid and waste resolution on values
+    that barely occur.
 
     The features output doubles as the fold-parity check (tests/test_quant):
     it must match the flax backbone bit-for-tolerance, proving the folding
@@ -263,9 +269,15 @@ def _collect_forward(cfg: PoseConfig, folded: dict, images):
     mobile = cfg.net_type.startswith("mobilenet")
     act = jax.nn.relu6 if mobile else jax.nn.relu
 
+    def _range_stat(x):
+        ax = jnp.abs(x)
+        if percentile is None:
+            return jnp.max(ax)
+        return jnp.percentile(ax.ravel(), percentile)
+
     def conv_fn(site, x, stride, rate, relu):
         w, b = folded[site]
-        amax[site] = jnp.max(jnp.abs(x))
+        amax[site] = _range_stat(x)
         y = _conv(x, w, stride, rate,
                   "SAME" if mobile else _pad_for(w.shape[0], stride, rate))
         y = y + b
@@ -288,7 +300,8 @@ def _collect_forward(cfg: PoseConfig, folded: dict, images):
 
 
 def quantize_model(cfg: PoseConfig, variables: dict, calib_images,
-                   dtype: Any = jnp.bfloat16, calib_batch: int = 8
+                   dtype: Any = jnp.bfloat16, calib_batch: int = 8,
+                   calib_percentile: float | None = None
                    ) -> tuple[QuantizedPoseModel, dict]:
     """Build the int8 model from trained f32 variables.
 
@@ -307,7 +320,8 @@ def quantize_model(cfg: PoseConfig, variables: dict, calib_images,
             f"not {cfg.net_type}")
     folded = folded_backbone_weights(variables)
 
-    collect = jax.jit(lambda imgs: _collect_forward(cfg, folded, imgs)[0])
+    collect = jax.jit(lambda imgs: _collect_forward(
+        cfg, folded, imgs, percentile=calib_percentile)[0])
     calib = np.asarray(calib_images)
     amax: dict[str, float] = {}
     for i in range(0, len(calib), calib_batch):

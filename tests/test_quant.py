@@ -149,3 +149,14 @@ def test_dynamic_crop_accepts_quantized_model():
     mu, lik = fn(qvars, jnp.asarray(images, jnp.uint8), center)
     assert mu.shape == (2, cfg.num_joints, 2)
     assert np.all(np.isfinite(np.asarray(mu)))
+
+
+def test_percentile_calibration_clips_scales():
+    cfg, model, variables, images = _setup(hw=(64, 64))
+    _, qv_max = quant_lib.quantize_model(cfg, variables, images)
+    qmodel, qv_p = quant_lib.quantize_model(cfg, variables, images,
+                                            calib_percentile=99.0)
+    for site, s in qv_p["act_scale"].items():
+        assert float(s) <= float(qv_max["act_scale"][site]) + 1e-12
+    out = jax.jit(qmodel.apply)(qv_p, jnp.asarray(images))
+    assert np.all(np.isfinite(np.asarray(out["part_pred"])))
