@@ -93,7 +93,48 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _wait_for_device(retries: int = None, wait_s: int = 60) -> bool:
+    """Probe backend init in a kill-safe subprocess before touching jax here.
+
+    The axon relay occasionally goes unavailable; an in-process
+    jax.devices() then hangs UNINTERRUPTIBLY (ignores SIGTERM) and the
+    whole bench run is lost. Probe in a subprocess with a hard kill,
+    retrying up to BENCH_INIT_RETRIES times, so a transient outage delays
+    the bench instead of wedging it.
+    """
+    import subprocess
+    import sys as _sys
+
+    if retries is None:
+        retries = int(os.environ.get("BENCH_INIT_RETRIES", 10))
+    for attempt in range(max(retries, 1)):
+        try:
+            r = subprocess.run(
+                [_sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=180, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"[bench] device backend unavailable "
+              f"(attempt {attempt + 1}/{retries}); retrying in {wait_s}s",
+              file=sys.stderr, flush=True)
+        time.sleep(wait_s)
+    return False
+
+
 def main():
+    if not _wait_for_device():
+        print(json.dumps({
+            "metric": "inference_throughput_unavailable",
+            "value": 0.0, "unit": "frames/sec/chip", "vs_baseline": 0.0,
+            "error": "TPU backend unavailable after BENCH_INIT_RETRIES "
+                     "probes (relay outage) — not a regression in this "
+                     "repo's pipeline; see PERF.md for last measured "
+                     "numbers"}))
+        return
+
     import jax
     import jax.numpy as jnp
     import numpy as np
