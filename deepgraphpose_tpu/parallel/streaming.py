@@ -78,7 +78,8 @@ def estimate_pose_multichip(proj_cfg_file, dgp_model_file, video_file,
                             max_frames: int | None = None,
                             save_pose: bool = True, save_str: str = "",
                             smooth: bool = False,
-                            compute_dtype=None) -> dict:
+                            compute_dtype=None,
+                            quantize: bool = False) -> dict:
     """Full-video inference with the time axis sharded over a device mesh.
 
     The hour-long-video configuration (BASELINE.json config #5): each
@@ -116,6 +117,17 @@ def estimate_pose_multichip(proj_cfg_file, dgp_model_file, video_file,
     model, variables = init_model(cfg, jax.random.PRNGKey(0),
                                   (reader.height, reader.width), dtype=dtype)
     variables, _ = ckpt_lib.load_snapshot(dgp_model_file, variables)
+    if quantize:
+        # int8 backbone (models/quant.py) sharded over time like the f32
+        # one: qvariables replicate, frames shard — composition is free
+        from deepgraphpose_tpu.models.quant import quantize_model
+
+        creader = VideoReader(video_file)
+        calib = [f for _, f in zip(range(8), (fr for _, fr in
+                                              creader.iter_frames()))]
+        creader.close()
+        model, variables = quantize_model(cfg, variables, np.stack(calib),
+                                          dtype=dtype)
     infer = make_time_sharded_infer_fn(model, cfg, mesh)
     smoother = make_time_sharded_smoother(mesh) if smooth else None
 

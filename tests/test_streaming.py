@@ -121,3 +121,28 @@ def test_smoother_carry_across_super_batches(mesh8, rng):
     np.testing.assert_allclose(streamed, whole, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(whole, ewma_reference(mu, lik, 0.6, 0.4),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_estimate_pose_multichip_int8(mesh8, synthetic_project, tmp_path):
+    """The int8 backbone composes with time sharding: qvariables replicate,
+    frames shard, same ppermute halo."""
+    import jax.numpy as jnp
+    from pathlib import Path
+
+    from deepgraphpose_tpu.core import checkpoint as ckpt_lib
+    from deepgraphpose_tpu.models.pose_model import init_model
+    from deepgraphpose_tpu.parallel.streaming import estimate_pose_multichip
+    from deepgraphpose_tpu.train.fit import resolve_project
+
+    root, _, _ = synthetic_project
+    root = Path(root)
+    _, cfg, train_dir = resolve_project(root, 1)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (64, 80))
+    snap = ckpt_lib.save_snapshot(train_dir, 2, "mcq--0", variables)
+
+    out = estimate_pose_multichip(
+        root / "config.yaml", snap, root / "videos" / "synthvid.avi",
+        tmp_path, mesh=mesh8, frames_per_device=2, max_frames=16,
+        compute_dtype=jnp.float32, quantize=True, save_pose=False)
+    assert out["x"].shape == (16, 3)
+    assert np.isfinite(out["x"]).all()
