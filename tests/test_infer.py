@@ -129,3 +129,23 @@ def test_comparison_movie(synthetic_project, tmp_path, rng):
     assert r.n_frames == T
     assert r.width == 2 * 80 and r.height == 64  # side-by-side
     r.close()
+
+
+def test_estimate_pose_quantized(synthetic_project, infer_setup, tmp_path):
+    """estimate_pose(quantize=True) calibrates on the video's first frames
+    and runs the int8 backbone; outputs stay close to the f32 path."""
+    root, _, _ = synthetic_project
+    cfg, model, variables = infer_setup
+    video = root + "/videos/synthvid.avi"
+
+    f32 = estimate_pose(None, tmp_path / "fake.ckpt", video, tmp_path,
+                        pose_cfg=cfg, model=model, variables=variables,
+                        batch_size=8, max_frames=16, save_pose=False)
+    q = estimate_pose(None, tmp_path / "fake.ckpt", video, tmp_path,
+                      pose_cfg=cfg, model=model, variables=variables,
+                      batch_size=8, max_frames=16, save_pose=False,
+                      quantize=True, calib_frames=4)
+    assert np.isfinite(q["x"]).all()
+    # random-weight net: just bound the decode drift to a few pixels
+    med = np.median(np.hypot(q["x"] - f32["x"], q["y"] - f32["y"]))
+    assert med < 8.0, f"median int8-vs-f32 drift {med:.2f} px"
