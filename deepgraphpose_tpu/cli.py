@@ -172,7 +172,9 @@ def train_heads(config, shuffle, maxiters, displayiters, snapshot, lr,
 @click.option("--plotting/--no-plotting", default=False,
               help="write per-frame labeled evaluation images "
                    "(ref evaluate_network plotting=True)")
-def evaluate(config, shuffle, snapshot, out, plotting):
+@click.option("--int8/--no-int8", "quantize", default=False,
+              help="evaluate the int8-quantized backbone (models/quant.py)")
+def evaluate(config, shuffle, snapshot, out, plotting, quantize):
     """RMSE vs human labels on the train/test split."""
     from pathlib import Path
 
@@ -189,7 +191,7 @@ def evaluate(config, shuffle, snapshot, out, plotting):
         snap = ckpt_lib.latest_snapshot(train_dir)
     if snap is None or not Path(snap).exists():
         raise click.ClickException(f"no snapshot under {train_dir}")
-    result = evaluate_dgp(config, snap, shuffle=shuffle)
+    result = evaluate_dgp(config, snap, shuffle=shuffle, quantize=quantize)
     if out:
         write_evaluation_csv(result, out)
     if plotting:

@@ -200,7 +200,8 @@ def evaluate_network(config: str | Path, shuffle: int = 1,
                      trainingsetindex: int = 0,
                      snapshots: str | list | None = None,
                      pcutoff: float | None = None,
-                     plotting: bool = False) -> list[dict]:
+                     plotting: bool = False,
+                     quantize: bool = False) -> list[dict]:
     """Evaluate one or all snapshots; writes a combined results CSV.
 
     ref: deeplabcut/pose_estimation_tensorflow/evaluate.py:182-405
@@ -251,7 +252,7 @@ def evaluate_network(config: str | Path, shuffle: int = 1,
                          "train_error_pcutoff_px", "pcutoff"])
         for snap in snaps:
             res = evaluate_dgp(config, snap, shuffle=shuffle,
-                               pcutoff=pcutoff)
+                               pcutoff=pcutoff, quantize=quantize)
             res["snapshot"] = snap.stem
             results.append(res)
             if plotting:
