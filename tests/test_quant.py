@@ -160,3 +160,26 @@ def test_percentile_calibration_clips_scales():
         assert float(s) <= float(qv_max["act_scale"][site]) + 1e-12
     out = jax.jit(qmodel.apply)(qv_p, jnp.asarray(images))
     assert np.all(np.isfinite(np.asarray(out["part_pred"])))
+
+
+def test_bias_correction_changes_biases_and_not_worse():
+    cfg, model, variables, images = _setup(hw=(64, 64))
+    ref = np.asarray(model.apply(variables, jnp.asarray(images))["part_pred"])
+    _, qv_off = quant_lib.quantize_model(cfg, variables, images,
+                                         dtype=jnp.float32,
+                                         bias_correction=False)
+    qmodel, qv_on = quant_lib.quantize_model(cfg, variables, images,
+                                             dtype=jnp.float32,
+                                             bias_correction=True)
+    changed = any(
+        float(jnp.abs(qv_on["bias"][s] - qv_off["bias"][s]).max()) > 0
+        for s in qv_on["bias"])
+    assert changed
+    out_off = np.asarray(jax.jit(qmodel.apply)(
+        qv_off, jnp.asarray(images))["part_pred"])
+    out_on = np.asarray(jax.jit(qmodel.apply)(
+        qv_on, jnp.asarray(images))["part_pred"])
+    err_off = np.abs(out_off - ref).mean()
+    err_on = np.abs(out_on - ref).mean()
+    # one-shot correction must not make things worse (usually improves)
+    assert err_on <= err_off * 1.05, (err_on, err_off)
