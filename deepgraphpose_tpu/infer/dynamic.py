@@ -244,8 +244,13 @@ def estimate_pose_dynamic_video(proj_cfg_file, dgp_model_file, video_file,
                                 batch_size: int = 16,
                                 max_frames: int | None = None,
                                 save_pose: bool = True,
-                                save_str: str = "") -> dict:
-    """GetPoseDynamic-equivalent over a video file, with DLC export."""
+                                save_str: str = "",
+                                quantize: bool = False) -> dict:
+    """GetPoseDynamic-equivalent over a video file, with DLC export.
+
+    quantize=True tracks with the int8 backbone (models/quant.py,
+    calibrated on the first frames) — the two throughput levers compose.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -264,6 +269,17 @@ def estimate_pose_dynamic_video(proj_cfg_file, dgp_model_file, video_file,
     model, variables = init_model(cfg, jax.random.PRNGKey(0),
                                   (reader.height, reader.width), dtype=dtype)
     variables, _ = ckpt_lib.load_snapshot(dgp_model_file, variables)
+    if quantize:
+        import numpy as _np
+
+        from deepgraphpose_tpu.models.quant import quantize_model
+
+        creader = VideoReader(video_file)
+        calib = [f for _, f in zip(range(8), (fr for _, fr in
+                                              creader.iter_frames()))]
+        creader.close()
+        model, variables = quantize_model(cfg, variables, _np.stack(calib),
+                                          dtype=dtype)
 
     # stream chunk-by-chunk with persistent tracking state: an hour-long
     # video does not fit host RAM
