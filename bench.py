@@ -86,11 +86,11 @@ def _measure_stream(infer, variables, ring, batch, n_frames, reps,
 def _enable_compile_cache():
     """Persistent XLA compilation cache: backbone compiles over the dev
     relay can take 100-300 s cold (contention-dependent); cached reruns
-    start timing in seconds. Same dir as tests/conftest.py."""
-    import jax
+    start timing in seconds. The shared helper honors DGP_COMPILE_CACHE=0
+    and a user JAX_COMPILATION_CACHE_DIR, like every library entry point."""
+    from deepgraphpose_tpu.utils.compile_cache import ensure_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dgp_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    ensure_compile_cache()
 
 
 def _wait_for_device(retries: int = None, wait_s: int = 60) -> bool:

@@ -270,16 +270,12 @@ def estimate_pose_dynamic_video(proj_cfg_file, dgp_model_file, video_file,
                                   (reader.height, reader.width), dtype=dtype)
     variables, _ = ckpt_lib.load_snapshot(dgp_model_file, variables)
     if quantize:
-        import numpy as _np
+        from deepgraphpose_tpu.models.quant import (calib_frames_from_video,
+                                                    quantize_model)
 
-        from deepgraphpose_tpu.models.quant import quantize_model
-
-        creader = VideoReader(video_file)
-        calib = [f for _, f in zip(range(8), (fr for _, fr in
-                                              creader.iter_frames()))]
-        creader.close()
-        model, variables = quantize_model(cfg, variables, _np.stack(calib),
-                                          dtype=dtype)
+        model, variables = quantize_model(
+            cfg, variables, calib_frames_from_video(video_file),
+            dtype=dtype)
 
     # stream chunk-by-chunk with persistent tracking state: an hour-long
     # video does not fit host RAM

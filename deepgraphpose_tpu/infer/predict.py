@@ -168,13 +168,13 @@ def estimate_pose(proj_cfg_file: str | Path | None,
     if batch_size is None:
         batch_size = pose_cfg.infer_batch_size
 
-    if model is None or variables is None:
-        import jax.numpy as _jnp
+    import jax.numpy as _jnp
 
-        dtype = compute_dtype
-        if dtype is None:
-            dtype = (_jnp.bfloat16 if pose_cfg.compute_dtype == "bfloat16"
-                     else _jnp.float32)
+    dtype = compute_dtype
+    if dtype is None:
+        dtype = (_jnp.bfloat16 if pose_cfg.compute_dtype == "bfloat16"
+                 else _jnp.float32)
+    if model is None or variables is None:
         model, variables = init_model(pose_cfg, jax.random.PRNGKey(0),
                                       (in_h, in_w), dtype=dtype)
         variables, _ = ckpt_lib.load_snapshot(dgp_model_file, variables)
@@ -182,24 +182,13 @@ def estimate_pose(proj_cfg_file: str | Path | None,
     from deepgraphpose_tpu.models.quant import QuantizedPoseModel
 
     if quantize and not isinstance(model, QuantizedPoseModel):
-        from deepgraphpose_tpu.models.quant import quantize_model
+        from deepgraphpose_tpu.models.quant import (calib_frames_from_video,
+                                                    quantize_model)
 
-        import cv2
-
-        creader = VideoReader(video_file)
-        calib = []
-        for _, frame in creader.iter_frames():
-            if new_size is not None:
-                frame = cv2.resize(frame, (new_size[1], new_size[0]))
-            if crop is not None:
-                x0, y0, x1, y1 = crop
-                frame = frame[y0:y1, x0:x1]
-            calib.append(frame)
-            if len(calib) >= calib_frames:
-                break
-        creader.close()
-        model, variables = quantize_model(pose_cfg, variables,
-                                          np.stack(calib))
+        calib = calib_frames_from_video(video_file, calib_frames,
+                                        new_size=new_size, crop=crop)
+        model, variables = quantize_model(pose_cfg, variables, calib,
+                                          dtype=dtype)
 
     infer = make_infer_fn(model, pose_cfg)
 

@@ -104,23 +104,14 @@ def export_from_snapshot(config_path: str | Path, snapshot: str | Path,
         raise FileNotFoundError(f"snapshot {snapshot} not found under "
                                 f"{train_dir}")
     if quantize:
-        from deepgraphpose_tpu.data.video import VideoReader
-        from deepgraphpose_tpu.models.quant import quantize_model
+        from deepgraphpose_tpu.models.quant import (calib_frames_from_video,
+                                                    quantize_model)
 
         vids = dgp_video_sets(proj, proj_dir)
-        reader = VideoReader(vids[0])
-        calib = []
-        for _, frame in reader.iter_frames():
-            if frame.shape[:2] == tuple(in_hw):
-                calib.append(frame)
-            if len(calib) >= 8:
-                break
-        reader.close()
-        if not calib:
-            raise ValueError(
-                f"no {in_hw} frames in {vids[0]} to calibrate on; pass "
-                "in_hw matching the project video")
-        model, variables = quantize_model(cfg, variables, np.stack(calib))
+        # resize_to: export at a non-native serving size still calibrates
+        # (frames are resized to in_hw rather than filtered out)
+        calib = calib_frames_from_video(vids[0], resize_to=tuple(in_hw))
+        model, variables = quantize_model(cfg, variables, calib)
     return export_infer_artifact(model, cfg, variables, in_hw, batch_size,
                                  out_path, platforms)
 

@@ -377,6 +377,40 @@ def quantize_model(cfg: PoseConfig, variables: dict, calib_images,
     return QuantizedPoseModel(cfg, dtype=dtype), qvariables
 
 
+def calib_frames_from_video(video_file, n: int = 8, new_size=None,
+                            crop=None, resize_to=None) -> np.ndarray:
+    """First-``n``-frames calibration stack — the one helper every
+    ``quantize=True`` entry point uses (estimate_pose, dynamic, streaming,
+    serving export), so their preprocessing cannot drift.
+
+    ``new_size``/``crop`` mirror estimate_pose's preprocessing order;
+    ``resize_to`` forces an exact (h, w) regardless of the video's native
+    size (serving export at a non-native input size).
+    """
+    import cv2
+
+    from deepgraphpose_tpu.data.video import VideoReader
+
+    reader = VideoReader(video_file)
+    frames = []
+    for _, frame in reader.iter_frames():
+        if new_size is not None:
+            frame = cv2.resize(frame, (new_size[1], new_size[0]))
+        if crop is not None:
+            x0, y0, x1, y1 = crop
+            frame = frame[y0:y1, x0:x1]
+        if resize_to is not None and frame.shape[:2] != tuple(resize_to):
+            frame = cv2.resize(frame, (resize_to[1], resize_to[0]))
+        frames.append(frame)
+        if len(frames) >= n:
+            break
+    reader.close()
+    if not frames:
+        raise ValueError(f"no decodable frames in {video_file} "
+                         "to calibrate on")
+    return np.stack(frames)
+
+
 def _local_bias_stats(cfg: PoseConfig, folded: dict, qvariables: dict,
                       images):
     """Per-site per-channel E[conv_f32(x) - conv_int8(x)] on the SAME f32

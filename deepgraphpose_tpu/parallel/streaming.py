@@ -120,14 +120,12 @@ def estimate_pose_multichip(proj_cfg_file, dgp_model_file, video_file,
     if quantize:
         # int8 backbone (models/quant.py) sharded over time like the f32
         # one: qvariables replicate, frames shard — composition is free
-        from deepgraphpose_tpu.models.quant import quantize_model
+        from deepgraphpose_tpu.models.quant import (calib_frames_from_video,
+                                                    quantize_model)
 
-        creader = VideoReader(video_file)
-        calib = [f for _, f in zip(range(8), (fr for _, fr in
-                                              creader.iter_frames()))]
-        creader.close()
-        model, variables = quantize_model(cfg, variables, np.stack(calib),
-                                          dtype=dtype)
+        model, variables = quantize_model(
+            cfg, variables, calib_frames_from_video(video_file),
+            dtype=dtype)
     infer = make_time_sharded_infer_fn(model, cfg, mesh)
     smoother = make_time_sharded_smoother(mesh) if smooth else None
 

@@ -233,6 +233,7 @@ class SegmentedFramePool:
         pinned = np.unique(np.asarray(ds.visible_frames, np.int64))
         self._pinned_row = {int(f): i for i, f in enumerate(pinned)}
         self.pinned = pinned
+        self._pinned_block = None  # decoded lazily, reused across segments
         frame_bytes = int(ds.nx_in) * int(ds.ny_in) * 3
         cap = capacity_bytes // max(frame_bytes, 1) - len(pinned)
 
@@ -281,7 +282,11 @@ class SegmentedFramePool:
         n = len(self.pinned) + self.capacity
         out = np.zeros((n, h, w, 3), np.uint8)
         if len(self.pinned):
-            out[:len(self.pinned)] = self.ds.get_frames(self.pinned)
+            # the pinned (labeled) block is immutable across segments:
+            # decode it once, not once per segment rotation x epoch
+            if self._pinned_block is None:
+                self._pinned_block = self.ds.get_frames(self.pinned)
+            out[:len(self.pinned)] = self._pinned_block
         seg = self.segments[k]
         if len(seg):
             out[len(self.pinned):len(self.pinned) + len(seg)] = \
@@ -342,10 +347,15 @@ def iter_spill_segments(pools, runs):
     q: queue.Queue = queue.Queue(maxsize=1)
 
     def producer():
-        for ds_i, k, positions in runs:
-            arr = jax.device_put(pools[ds_i].host_segment(k))
-            q.put((ds_i, k, positions, arr))
-        q.put(None)
+        # a producer crash (corrupt frame, device OOM on the segment
+        # upload) must surface on the consumer, not strand it on q.get()
+        try:
+            for ds_i, k, positions in runs:
+                arr = jax.device_put(pools[ds_i].host_segment(k))
+                q.put((ds_i, k, positions, arr))
+            q.put(None)
+        except BaseException as e:  # noqa: BLE001 — re-raised on consumer
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -353,6 +363,8 @@ def iter_spill_segments(pools, runs):
         item = q.get()
         if item is None:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item
     t.join()
 

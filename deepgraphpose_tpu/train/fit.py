@@ -793,36 +793,6 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
         print(f"step {step}: trainable batch-norm enabled "
               "(from-scratch mode)")
 
-    # ``lr_decay=True`` anneals the step's rate with a cosine schedule over
-    # its true iteration count (floor 5% of lr). The reference holds its
-    # hard-coded 0.005 flat (fitdgp.py:353, 650) — tuned for warm-started
-    # models; from-scratch step-0 models degrade under a flat rate (EVAL.md).
-    if lr_decay:
-        import optax
-
-        lr_or_sched = optax.cosine_decay_schedule(
-            cfg.lr, decay_steps=max(n_iters, 1), alpha=0.05)
-    else:
-        lr_or_sched = cfg.lr
-    tx = steps_lib.make_optimizer(lr_or_sched, momentum=0.9, clip_norm=10.0)
-    opt_state = tx.init(variables["params"])
-
-    # mid-step resume: continue from the latest intermediate snapshot
-    # (variables AND optimizer state) — the reference can only skip-if-final
-    # (SURVEY §5)
-    start_it = 0
-    inter = (ckpt_lib.latest_intermediate_snapshot(train_dir, step, debug)
-             if resume else None)
-    if inter is not None:
-        snap_path, snap_it = inter
-        variables, opt_state = ckpt_lib.load_snapshot(
-            snap_path, variables, opt_state)
-        if opt_state is None:
-            opt_state = tx.init(variables["params"])
-        start_it = snap_it + 1
-        print(f"resuming step {step} from {snap_path.name} "
-              f"(iteration {start_it})")
-
     augmenter = Augmenter(apply_prob=0.8) if (aug and wt == 0) else None
 
     # device-resident frame pools: gather windows in HBM, send only indices
@@ -874,6 +844,41 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
         print(f"warning: fit_dgp(data_parallel={data_parallel}) requires "
               "the device-data frame pools; training single-device")
         n_dp = 0
+
+    # ``lr_decay=True`` anneals the step's rate with a cosine schedule over
+    # its true OPTIMIZER-UPDATE count (floor 5% of lr): data-parallel
+    # training consumes n_dp schedule windows per update, so the horizon is
+    # n_iters/n_dp, not n_iters — sized on the schedule length the lr would
+    # stay flat-high for the whole DP run. The reference holds its
+    # hard-coded 0.005 flat (fitdgp.py:353, 650) — tuned for warm-started
+    # models; from-scratch step-0 models degrade under a flat rate (EVAL.md).
+    n_updates = -(-n_iters // n_dp) if n_dp > 1 else n_iters
+    if lr_decay:
+        import optax
+
+        lr_or_sched = optax.cosine_decay_schedule(
+            cfg.lr, decay_steps=max(n_updates, 1), alpha=0.05)
+    else:
+        lr_or_sched = cfg.lr
+    tx = steps_lib.make_optimizer(lr_or_sched, momentum=0.9, clip_norm=10.0)
+    opt_state = tx.init(variables["params"])
+
+    # mid-step resume: continue from the latest intermediate snapshot
+    # (variables AND optimizer state) — the reference can only skip-if-final
+    # (SURVEY §5)
+    start_it = 0
+    inter = (ckpt_lib.latest_intermediate_snapshot(train_dir, step, debug)
+             if resume else None)
+    if inter is not None:
+        snap_path, snap_it = inter
+        variables, opt_state = ckpt_lib.load_snapshot(
+            snap_path, variables, opt_state)
+        if opt_state is None:
+            opt_state = tx.init(variables["params"])
+        start_it = snap_it + 1
+        print(f"resuming step {step} from {snap_path.name} "
+              f"(iteration {start_it})")
+
     pools = None
     mesh = None
     if use_pool:
@@ -944,8 +949,11 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
     name = "fit_dgp_labeledonly" if visible_only else "fit_dgp"
     loss_key = "total_loss_visible" if visible_only else "total_loss"
 
-    def handle(it, out, variables, opt_state):
-        if displayiters and it % displayiters == 0:
+    def handle(it, out, variables, opt_state, stride: int = 1):
+        # ``stride``: schedule positions consumed by this update (n_dp under
+        # data parallelism). Intervals fire when the boundary falls inside
+        # [it, it+stride) so displayiters/saveiters need not divide n_dp.
+        if displayiters and it % displayiters < stride:
             # float() is a device sync: attribute the interval across steps
             terms = {k: float(v) for k, v in out.items()}
             loss = terms[loss_key]
@@ -956,7 +964,7 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
             print(f"[{name}] iter {it}/{n_iters} loss {loss:.4f} "
                   f"({time.time() - t0:.1f}s)", flush=True)
             stats.append([it, loss])
-        if it > 0 and it % save_every == 0:
+        if it > 0 and it % save_every < stride:
             ckpt_lib.save_snapshot(train_dir, step, it, variables, opt_state,
                                    cfg.max_to_keep, debug)
 
@@ -993,7 +1001,7 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
                                             n_dp)), mesh)
             variables, opt_state, out = pooled_step(
                 variables, opt_state, pools[ds_i].images, rows, batch, keys)
-            handle(it, out, variables, opt_state)
+            handle(it, out, variables, opt_state, stride=n_dp)
     elif use_pool and dd.resolve_scan_iters(scan_iters, True, n_dp) > 1:
         import jax.numpy as jnp
 

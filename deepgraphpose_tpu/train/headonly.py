@@ -82,15 +82,19 @@ def fit_dlc_heads(dlcpath: str | Path = ".", shuffle: int = 1,
                   trainingsetindex: int = 0, seed: int = 0,
                   lr: float | None = None,
                   reinit_heads: bool = False,
-                  debug: str = "") -> Path | None:
+                  debug: str = "_heads") -> Path | None:
     """Train ONLY the prediction heads on cached backbone features.
 
     Loads a warm start exactly like ``fit_dlc`` (``snapshot`` or the best
     available), forwards the labeled set through the frozen backbone once,
     then runs head-only supervised steps. The merged variables (untouched
     backbone + trained heads) are saved as a regular step-0 snapshot
-    (suffix ``debug``), so every downstream consumer — fit_dgp, evaluation,
-    analyze_videos — picks it up unchanged.
+    (suffix ``debug``, default ``"_heads"`` — the default must NOT be the
+    bare step-0 namespace, or this run would silently overwrite the
+    canonical ``snapshot-step0-*`` files that warm-start steps 1-2 and all
+    evaluation; pass ``debug=""`` explicitly to do that on purpose), so
+    every downstream consumer — fit_dgp, evaluation, analyze_videos —
+    picks it up by name.
 
     ``reinit_heads=True`` re-initialises the head parameters first (the
     reference pipeline's use case: fit a fresh prediction layer on dumped
