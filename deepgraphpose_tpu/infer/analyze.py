@@ -71,11 +71,17 @@ def analyze_videos(config: str | Path, videos: list, shuffle: int = 1,
                    cropping: tuple | None = None,
                    num_outputs: int = 1,
                    max_frames: int | None = None,
-                   quantize: bool = False) -> str:
+                   quantize: bool = False,
+                   dynamic: tuple = (False, 0.5, 10)) -> str:
     """Analyze every video; returns the DLC scorer string.
 
     ``videos`` may contain files or directories (all videos inside are
     picked up, ref: predict_videos.py:528-555 GetVideoList behavior).
+    ``dynamic=(state, detectiontreshold, margin)`` mirrors the reference's
+    dynamic-cropping switch (ref: predict_videos.py:37,90-101 GetPoseDynamic)
+    — here it routes to the TPU-redesigned batched fixed-size tracker
+    (infer/dynamic.py). ``quantize=True`` runs the int8 backbone
+    (models/quant.py); the two compose.
     """
     from deepgraphpose_tpu.data.video import VideoReader
     from deepgraphpose_tpu.infer.export import export_pose_like_dlc
@@ -126,6 +132,21 @@ def analyze_videos(config: str | Path, videos: list, shuffle: int = 1,
                                pose_cfg, scorer, names, num_outputs,
                                batchsize, max_frames, save_as_csv)
             labels = None
+        elif dynamic and dynamic[0]:
+            from deepgraphpose_tpu.infer.dynamic import \
+                estimate_pose_dynamic_video
+
+            labels = estimate_pose_dynamic_video(
+                config, snap_path, video, dest, shuffle=shuffle,
+                detection_threshold=float(dynamic[1]),
+                margin=int(dynamic[2]),
+                batch_size=batchsize or pose_cfg.infer_batch_size,
+                max_frames=max_frames, save_pose=False, quantize=quantize)
+            n = labels["x"].shape[0]
+            export_pose_like_dlc(labels, scorer, names,
+                                 str(dataname.with_suffix("")))
+            if not save_as_csv:
+                dataname.with_suffix(".csv").unlink(missing_ok=True)
         else:
             labels = estimate_pose(
                 proj_cfg_file=config, dgp_model_file=snap_path,

@@ -205,3 +205,21 @@ def test_display_dataset_targets(project_with_snapshot, tmp_path):
     assert len(out) == 2
     assert all(p.name.endswith("_targets.png") for p in out)
     assert all(p.stat().st_size > 1000 for p in out)
+
+
+def test_analyze_videos_dynamic(project_with_snapshot, tmp_path):
+    """The reference's dynamic=(state, threshold, margin) switch routes to
+    the batched fixed-size tracker (ref: predict_videos.py:37,90-101)."""
+    from deepgraphpose_tpu.infer.analyze import analyze_videos
+    from deepgraphpose_tpu.infer.export import load_pose_from_dlc
+
+    root, _ = project_with_snapshot
+    video = Path(root) / "videos" / "synthvid.avi"
+    scorer = analyze_videos(Path(root) / "config.yaml", [video],
+                            destfolder=tmp_path, max_frames=12, batchsize=4,
+                            dynamic=(True, 0.5, 10))
+    csv = tmp_path / f"{video.stem}{scorer}.csv"
+    assert csv.exists()
+    back = load_pose_from_dlc(str(csv))
+    assert back["x"].shape == (12, 3)
+    assert np.isfinite(back["x"]).all()
