@@ -219,14 +219,18 @@ def evaluate(config, shuffle, snapshot, out, plotting, quantize):
 @click.option("--destfolder", default=None)
 @click.option("--int8/--no-int8", "quantize", default=False,
               help="int8-quantized backbone (2x MXU rate; models/quant.py)")
+@click.option("--dynamic", nargs=3, type=float, default=(0, 0.5, 10),
+              help="dynamic cropping: STATE THRESHOLD MARGIN "
+                   "(ref predict_videos.py dynamic=(False,.5,10))")
 def analyze_videos(config, videos, shuffle, batchsize, save_as_csv,
-                   destfolder, quantize):
+                   destfolder, quantize, dynamic):
     """Batched full-video inference with DLC scorer-named outputs."""
     from deepgraphpose_tpu.infer.analyze import analyze_videos as _analyze
 
     _analyze(config, list(videos), shuffle=shuffle, batchsize=batchsize,
              save_as_csv=save_as_csv, destfolder=destfolder,
-             quantize=quantize)
+             quantize=quantize,
+             dynamic=(bool(dynamic[0]), dynamic[1], int(dynamic[2])))
 
 
 @main.command(context_settings=CTX)
