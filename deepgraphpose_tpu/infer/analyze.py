@@ -63,7 +63,8 @@ def _resolve_snapshot(train_dir: Path, proj: ProjectConfig,
         f"no snapshots under {train_dir}; train the network first")
 
 
-def analyze_videos(config: str | Path, videos: list, shuffle: int = 1,
+def analyze_videos(config: str | Path, videos: list, videotype: str = "",
+                   shuffle: int = 1,
                    trainingsetindex: int = 0, save_as_csv: bool = True,
                    destfolder: str | Path | None = None,
                    batchsize: int | None = None,
@@ -101,7 +102,12 @@ def analyze_videos(config: str | Path, videos: list, shuffle: int = 1,
     for v in videos:
         p = Path(v)
         if p.is_dir():
-            video_files.extend(Path(f) for f in paths_lib.list_videos(p))
+            # videotype filters directory scans (ref: predict_videos.py
+            # videotype='avi' + auxiliaryfunctions.GetVideoList)
+            vt = videotype.lower().lstrip(".")
+            video_files.extend(
+                Path(f) for f in paths_lib.list_videos(p)
+                if not vt or Path(f).suffix.lower().lstrip(".") == vt)
         elif p.exists():
             video_files.append(p)
         else:
