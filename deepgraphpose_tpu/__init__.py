@@ -98,7 +98,25 @@ _LAZY_API = {
         "calibrate_cameras": ("deepgraphpose_tpu.threed",
                               "calibrate_cameras"),
         "triangulate": ("deepgraphpose_tpu.threed", "triangulate"),
+        "create_labeled_video_3d": ("deepgraphpose_tpu.threed.plotting3d",
+                                    "create_labeled_video_3d"),
 }
+
+# reference-spelled names (DeepLabCut __init__.py:30-58) — every name the
+# reference exports resolves, so `import deepgraphpose_tpu as deeplabcut`
+# runs reference project scripts (deepgraphpose_tpu/compat.py)
+for _name in ("label_frames", "refine_labels", "train_network",
+              "return_train_network_path", "return_evaluate_network_data",
+              "load_demo_data", "create_pretrained_human_project",
+              "create_training_model_comparison",
+              "adddatasetstovideolistandviceversa", "check_undistortion",
+              "comparevideolistsanddatafolders",
+              "dropannotationfileentriesduetodeletedimages",
+              "dropimagesduetolackofannotation",
+              "dropduplicatesinannotatinfiles",
+              "ShortenVideo", "DownSampleVideo", "create_labeled_video"):
+    _LAZY_API[_name] = ("deepgraphpose_tpu.compat", _name)
+del _name
 
 
 def __getattr__(name):

@@ -1,0 +1,365 @@
+"""Reference-named top-level API (DeepLabCut `__init__.py:30-58` surface).
+
+Every name the reference exports at `import deeplabcut` resolves here to
+this package's equivalent, so project scripts written against the
+reference run with ``import deepgraphpose_tpu as deeplabcut``. Substantive
+logic lives in the real modules; this file holds the reference spellings,
+argument orders, and the handful of small behaviors (load_demo_data path
+transform, video-list reconciliation) that exist only at the API boundary.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+
+# ---- labeling / refinement (ref: deeplabcut.label_frames, refine_labels —
+# wx toolboxes; here the browser UI, project/label_server.py) -------------
+
+def label_frames(config, video: str | None = None, port: int = 8574):
+    """Launch the browser labeling UI (blocking, like the reference GUI)."""
+    from deepgraphpose_tpu.project.label_server import LabelServer
+
+    LabelServer(Path(config).parent, video=video, port=port).serve_forever()
+
+
+def refine_labels(config, video: str | None = None, port: int = 8574):
+    """Refinement = the same UI; machine labels preload as draggable marks
+    (ref: refine_training_dataset/refinement.py)."""
+    return label_frames(config, video=video, port=port)
+
+
+# ---- training (ref: pose_estimation_tensorflow/training.py) -------------
+
+def return_train_network_path(config, shuffle: int = 1,
+                              trainingsetindex: int = 0):
+    """(train pose_cfg path, test pose_cfg path, snapshot folder)
+    (ref: training.py:14-40)."""
+    from deepgraphpose_tpu.train.fit import resolve_project
+
+    _, _, train_dir = resolve_project(Path(config).parent, shuffle,
+                                      trainingsetindex)
+    train_dir = Path(train_dir)
+    return (train_dir / "pose_cfg.yaml",
+            train_dir.parent / "test" / "pose_cfg.yaml",
+            train_dir)
+
+
+def train_network(config, shuffle: int = 1, trainingsetindex: int = 0,
+                  max_snapshots_to_keep: int = 5, displayiters=None,
+                  saveiters=None, maxiters=None, allow_growth: bool = False,
+                  gputouse=None, autotune: bool = False,
+                  keepdeconvweights: bool = True, **kwargs):
+    """Supervised training with the reference's argument surface
+    (ref: training.py:42-144). gputouse/allow_growth/autotune are TF-GPU
+    knobs with no TPU meaning and are accepted and ignored;
+    keepdeconvweights=False re-initializes the deconv heads on warm start
+    (ref behavior when changing bodypart count) — here snapshots either
+    match or the head simply re-initializes, so it is accepted and ignored.
+    Extra kwargs (bn_train, aug, data_parallel, ...) pass to fit_dlc.
+    """
+    del (allow_growth, gputouse, autotune, keepdeconvweights,
+         max_snapshots_to_keep)  # cfg.max_to_keep governs snapshot pruning
+    from deepgraphpose_tpu.train.fit import fit_dlc
+
+    return fit_dlc(dlcpath=Path(config).parent, shuffle=shuffle,
+                   trainingsetindex=trainingsetindex,
+                   displayiters=displayiters or 1000,
+                   saveiters=saveiters or 50000,
+                   maxiters=maxiters or 200000, **kwargs)
+
+
+def return_evaluate_network_data(config, shuffle: int = 1,
+                                 trainingsetindex: int = 0,
+                                 comparisonbodyparts="all",
+                                 Snapindex=None, rescale: bool = False,
+                                 fulldata: bool = False,
+                                 show_errors: bool = True):
+    """Evaluation summary rows like the reference's
+    (ref: evaluate.py:41-180): one
+    [trainingsiterations, trainfraction, shuffle, trainerror, testerror,
+    pcutoff, trainerrorpcutoff, net_type, snapshot] row per snapshot;
+    with fulldata=True each row also carries the full evaluate_dgp dict.
+    """
+    del comparisonbodyparts, rescale  # full-table evaluation, native px
+    from deepgraphpose_tpu.core import checkpoint as ckpt_lib
+    from deepgraphpose_tpu.core.config import ProjectConfig
+    from deepgraphpose_tpu.evaluation.metrics import evaluate_dgp
+    from deepgraphpose_tpu.train.fit import resolve_project
+
+    config = Path(config)
+    proj = ProjectConfig.from_yaml(config)
+    _, pose_cfg, train_dir = resolve_project(config.parent, shuffle,
+                                             trainingsetindex)
+    snaps = sorted(Path(train_dir).glob(f"snapshot-*{ckpt_lib.CKPT_SUFFIX}"),
+                   key=ckpt_lib._snapshot_iter)
+    if Snapindex is not None and Snapindex != "all":
+        snaps = [snaps[int(Snapindex)]]
+    rows = []
+    for snap in snaps:
+        res = evaluate_dgp(config, snap, shuffle=shuffle)
+        row = [snap.stem.split("-")[-1],
+               proj.TrainingFraction[trainingsetindex], shuffle,
+               res["train_error"], res["test_error"], proj.pcutoff,
+               res["train_error_pcutoff"], pose_cfg.net_type, snap.stem]
+        if fulldata:
+            row.append(res)
+        rows.append(row)
+        if show_errors:
+            print(f"{snap.stem}: train {res['train_error']:.2f} px, "
+                  f"test {res['test_error']:.2f} px")
+    return rows
+
+
+# ---- project scaffolding (ref: create_project/) --------------------------
+
+def load_demo_data(config, createtrainingset: bool = True):
+    """Re-root a copied/demo project at its current location: rewrite
+    project_path, video_sets paths, and the pose_cfg project paths to
+    absolute local paths (ref: create_project/demo_data.py:16-76), then
+    optionally build the training set."""
+    import yaml
+
+    config = Path(config).resolve()
+    root = config.parent
+    with open(config) as f:
+        cfg = yaml.safe_load(f)
+    cfg["project_path"] = str(root)
+    video_sets = {}
+    for v, meta in (cfg.get("video_sets") or {}).items():
+        video_sets[str(root / "videos" / Path(v).name)] = meta
+    cfg["video_sets"] = video_sets
+    with open(config, "w") as f:
+        yaml.safe_dump(cfg, f, sort_keys=False)
+    print(f"re-rooted {config} at {root}")
+    if createtrainingset:
+        from deepgraphpose_tpu.project import create_training_dataset
+
+        print("Loaded, now creating training data...")
+        create_training_dataset(config, num_shuffles=1)
+
+
+def create_pretrained_human_project(*args, **kwargs):
+    """The reference downloads a pretrained human MPII model
+    (ref: create_project/modelzoo-style download in new_projects). This
+    environment has no network egress and ships no model zoo; import a
+    locally available TF1 checkpoint instead:
+    ``models/tf_import.py`` + ``create_new_project`` cover the workflow.
+    """
+    raise NotImplementedError(
+        "no network egress for the pretrained-human download; create a "
+        "project with create_new_project and import local TF1 weights via "
+        "deepgraphpose_tpu.models.tf_import")
+
+
+def create_training_model_comparison(config, trainindex: int = 0,
+                                     num_shuffles: int = 1,
+                                     net_types: list = ("resnet_50",),
+                                     **kwargs):
+    """One shuffle per (copy, net_type) so architectures train side by side
+    (ref: generate_training_dataset/trainingsetmanipulation.py
+    create_training_model_comparison). Returns the shuffle indices."""
+    from deepgraphpose_tpu.project import create_training_dataset
+
+    shuffles = []
+    shuffle = 0
+    for net in net_types:
+        for _ in range(num_shuffles):
+            shuffle += 1
+            create_training_dataset(config, Shuffles=[shuffle],
+                                    net_type=net, **kwargs)
+            shuffles.append(shuffle)
+            print(f"shuffle {shuffle}: {net}")
+    return shuffles
+
+
+def adddatasetstovideolistandviceversa(config, prefix: str = "videos",
+                                       width: int | None = None,
+                                       height: int | None = None,
+                                       suffix: str = ".avi"):
+    """Reconcile config video_sets with labeled-data folders
+    (ref: trainingsetmanipulation.py:67-120): folders without a video
+    entry get one (prefix/name+suffix, crop from width/height or the
+    folder's first image); entries without a folder are removed."""
+    import yaml
+
+    config = Path(config)
+    root = config.parent
+    with open(config) as f:
+        cfg = yaml.safe_load(f)
+    video_sets = dict(cfg.get("video_sets") or {})
+    names = {Path(v).stem: v for v in video_sets}
+    folders = [d.name for d in (root / "labeled-data").iterdir()
+               if d.is_dir() and "_labeled" not in d.name]
+
+    removed = [v for stem, v in names.items() if stem not in folders]
+    for v in removed:
+        print(f"removing video entry without labeled-data: {v}")
+        video_sets.pop(v)
+    added = 0
+    for folder in folders:
+        if folder in names:
+            continue
+        w, h = width, height
+        if w is None or h is None:
+            import cv2
+
+            imgs = sorted((root / "labeled-data" / folder).glob("*.png"))
+            if imgs:
+                im = cv2.imread(str(imgs[0]))
+                h, w = im.shape[:2]
+            else:
+                w, h = 0, 0
+        entry = str(Path(prefix) / f"{folder}{suffix}")
+        video_sets[entry] = {"crop": f"0, {w}, 0, {h}"}
+        print(f"adding video entry for labeled-data/{folder}: {entry}")
+        added += 1
+    cfg["video_sets"] = video_sets
+    with open(config, "w") as f:
+        yaml.safe_dump(cfg, f, sort_keys=False)
+    return added, len(removed)
+
+
+# ---- 3-D (ref: pose_estimation_3d) ---------------------------------------
+
+def check_undistortion(config3d, cbrow: int = 8, cbcol: int = 6):
+    """Re-detect the calibration checkerboards, undistort, triangulate,
+    and report per-pair 3-D quality: the RMS deviation of the triangulated
+    corners from their best-fit plane (a checkerboard is planar, so this
+    number IS the stereo-calibration error in world units) plus the mean
+    corner spacing. The reference saves plots of the same quantities
+    (ref: pose_estimation_3d/camera_calibration.py check_undistortion);
+    here the numbers return to the caller.
+    """
+    import cv2
+    import numpy as np
+    import yaml
+
+    from deepgraphpose_tpu.threed.calibration import (CameraSystem,
+                                                      detect_checkerboard)
+    from deepgraphpose_tpu.threed.triangulation import (triangulate_points,
+                                                        undistort_points)
+
+    config3d = Path(config3d)
+    with open(config3d) as f:
+        cfg = yaml.safe_load(f)
+    root = Path(cfg.get("project_path", config3d.parent))
+    names = cfg["camera_names"]
+    cs = CameraSystem.load(root / "camera_matrix" / "stereo_params.pickle")
+
+    per_cam: dict[str, dict] = {n: {} for n in names}
+    for n in names:
+        img_dir = root / "calibration_images"
+        for p in sorted(list(img_dir.glob(f"{n}-*.jpg"))
+                        + list(img_dir.glob(f"{n}-*.png"))):
+            img = cv2.imread(str(p))
+            if img is None:
+                continue
+            corners = detect_checkerboard(img, cbrow, cbcol)
+            if corners is not None:
+                per_cam[n][p.stem[len(n) + 1:]] = corners
+    common = sorted(set.intersection(*[set(per_cam[n]) for n in names]))
+    reports = []
+    for key in common:
+        p1 = undistort_points(per_cam[names[0]][key], cs.K[names[0]],
+                              cs.dist[names[0]], cs.P[names[0]])
+        p2 = undistort_points(per_cam[names[1]][key], cs.K[names[1]],
+                              cs.dist[names[1]], cs.P[names[1]])
+        xyz = triangulate_points(cs.P[names[0]], cs.P[names[1]],
+                                 p1.reshape(-1, 2), p2.reshape(-1, 2))
+        centered = xyz - xyz.mean(0)
+        *_, vt = np.linalg.svd(centered, full_matrices=False)
+        plane_rms = float(np.sqrt(np.mean((centered @ vt[-1]) ** 2)))
+        grid = xyz.reshape(cbrow * cbcol, 3)
+        spacing = float(np.mean(np.linalg.norm(
+            grid[1:cbcol] - grid[:cbcol - 1], axis=-1)))
+        reports.append({"image": key, "plane_rms": plane_rms,
+                        "corner_spacing": spacing})
+        print(f"pair {key}: plane RMS {plane_rms:.4f}, "
+              f"corner spacing {spacing:.4f} (square-size units)")
+    if not reports:
+        print("no checkerboard pairs found; run calibrate_cameras first")
+    return reports
+
+
+# ---- reference-spelled aliases -------------------------------------------
+
+def comparevideolistsanddatafolders(config):
+    from deepgraphpose_tpu.project import \
+        compare_video_lists_and_data_folders as f
+
+    return f(config)
+
+
+def dropannotationfileentriesduetodeletedimages(config):
+    from deepgraphpose_tpu.project import \
+        drop_annotations_for_deleted_images as f
+
+    return f(config)
+
+
+def dropimagesduetolackofannotation(config):
+    from deepgraphpose_tpu.project import drop_unannotated_images as f
+
+    return f(config)
+
+
+def dropduplicatesinannotatinfiles(config):
+    from deepgraphpose_tpu.project import \
+        drop_duplicates_in_annotation_files as f
+
+    return f(config)
+
+
+def ShortenVideo(vname, start: str = "00:00:01", stop: str = "00:01:00",
+                 outsuffix: str = "short", outpath: str | None = None):
+    """ref: utils/auxfun_videos.py ShortenVideo (HH:MM:SS bounds)."""
+    from deepgraphpose_tpu.data.video import shorten_video
+
+    def _secs(ts):
+        parts = [float(p) for p in str(ts).split(":")]
+        while len(parts) < 3:
+            parts.insert(0, 0.0)
+        return parts[0] * 3600 + parts[1] * 60 + parts[2]
+
+    return shorten_video(vname, start_s=_secs(start), stop_s=_secs(stop),
+                         outsuffix=outsuffix, outpath=outpath)
+
+
+def DownSampleVideo(vname, width: int = -1, height: int = 200,
+                    outsuffix: str = "downsampled",
+                    outpath: str | None = None, rotatecw: bool = False):
+    """ref: utils/auxfun_videos.py DownSampleVideo. ``rotatecw`` is
+    accepted and ignored (the reference shells out to ffmpeg's transpose;
+    rotate before downsampling if needed)."""
+    del rotatecw
+    from deepgraphpose_tpu.data.video import downsample_video
+
+    return downsample_video(vname, width=width, height=height,
+                            outsuffix=outsuffix, outpath=outpath)
+
+
+def create_labeled_video(config, videos, videotype: str = "avi",
+                         shuffle: int = 1, trainingsetindex: int = 0,
+                         save_frames: bool = False, destfolder=None,
+                         **kwargs):
+    """Marker-annotated videos from trajectories
+    (ref: utils/make_labeled_video.py create_labeled_video)."""
+    from deepgraphpose_tpu.core import checkpoint as ckpt_lib
+    from deepgraphpose_tpu.infer.video_writer import plot_dgp
+    from deepgraphpose_tpu.train.fit import resolve_project
+
+    del save_frames, videotype
+    dlcpath = Path(config).parent
+    _, _, train_dir = resolve_project(dlcpath, shuffle, trainingsetindex)
+    snap = ckpt_lib.latest_snapshot(train_dir)
+    if snap is None:
+        raise FileNotFoundError(f"no snapshot under {train_dir}")
+    outs = []
+    for video in ([videos] if isinstance(videos, (str, os.PathLike))
+                  else videos):
+        out = Path(destfolder) if destfolder else Path(video).parent
+        outs.append(plot_dgp(video, out, proj_cfg_file=config,
+                             dgp_model_file=snap, shuffle=shuffle, **kwargs))
+    return outs
