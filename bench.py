@@ -105,6 +105,8 @@ def _wait_for_device(retries: int = None, wait_s: int = 60) -> bool:
     import subprocess
     import sys as _sys
 
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return True  # CPU smoke runs: nothing to probe
     if retries is None:
         retries = int(os.environ.get("BENCH_INIT_RETRIES", 10))
     for attempt in range(max(retries, 1)):
