@@ -135,3 +135,18 @@ def test_fit_dgp_spill_device_flow(tmp_path, monkeypatch, capsys):
     assert "segment-rotating frame pools" in out
     assert "LK flow" in out
     assert snap is not None and snap.exists()
+
+
+def test_iter_spill_segments_propagates_producer_errors():
+    """A producer-thread failure (corrupt frame, device OOM) must raise on
+    the consumer instead of stranding it on q.get() forever."""
+    import pytest
+
+    class BoomPool:
+        def host_segment(self, k):
+            raise RuntimeError("decode exploded")
+
+    runs = [(0, 0, [0, 1])]
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        for _ in dd.iter_spill_segments([BoomPool()], runs):
+            pass
