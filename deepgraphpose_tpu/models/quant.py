@@ -19,9 +19,16 @@ Scheme — standard symmetric post-training quantization:
   as the max |x| over user-supplied calibration frames;
 * the conv itself runs int8 x int8 -> int32 on the MXU
   (``preferred_element_type=int32``); one fused f32 epilogue applies
-  ``y = conv * (sx * sw[oc]) + b`` (+ ReLU). Residual adds stay f32;
-  max-pools and zero padding are exact in the quantized domain
-  (symmetric => zero-point 0);
+  ``y = conv * (sx * sw[oc]) + b`` (+ ReLU). Max-pools and zero padding
+  are exact in the quantized domain (symmetric => zero-point 0);
+* inter-layer activations are CARRIED NARROW — this is where the int8
+  kernel-rate win is otherwise lost to HBM traffic (measured: an f32
+  carry made the int8 model 0.88x the bf16 one end-to-end). Inside each
+  bottleneck the conv1->conv2->conv3 chain requantizes in the epilogue
+  (``int8 = clip(round((acc*oscale+b).relu / sx_next))``) so the tensor
+  between convs is 1 byte/element — numerically identical to quantizing
+  a wide carry, since the fused epilogue computes in f32 either way.
+  Block boundaries (residual adds, the stem/maxpool) carry bfloat16;
 * the 3x3 deconv heads (~5 of 143 GF/frame) stay in the model dtype —
   they set the sub-cell precision of the decode, so they are not worth
   quantizing;
@@ -177,10 +184,18 @@ def _walk_backbone(cfg: PoseConfig, units, x, conv_fn):
 
 @dataclasses.dataclass(frozen=True)
 class QuantizedPoseModel:
-    """Duck-types PoseModel.apply for the inference call sites."""
+    """Duck-types PoseModel.apply for the inference call sites.
+
+    ``carry_dtype`` is the HBM dtype of inter-layer activations at graph
+    branch points (block inputs/outputs, residual adds); linear
+    conv1->conv2->conv3 chains carry int8 via epilogue requantization when
+    ``int8_carry`` (see module docstring — the carry width, not the conv
+    rate, decides whether int8 beats bf16 end-to-end)."""
 
     cfg: PoseConfig
     dtype: Any = jnp.bfloat16  # head compute dtype
+    carry_dtype: Any = jnp.bfloat16
+    int8_carry: bool = True
 
     def apply(self, qvariables: dict, images: jnp.ndarray,
               train: bool = False, return_features: bool = False) -> dict:
@@ -190,7 +205,9 @@ class QuantizedPoseModel:
         mean = jnp.asarray(cfg.mean_pixel, dtype=jnp.float32)
         x = images.astype(jnp.float32) - mean
 
-        features, end_points = _int8_backbone(cfg, qvariables, x)
+        features, end_points = _int8_backbone(
+            cfg, qvariables, x, carry_dtype=self.carry_dtype,
+            int8_carry=self.int8_carry)
         features = features.astype(self.dtype)
 
         heads = {}
@@ -218,7 +235,24 @@ class QuantizedPoseModel:
         return heads
 
 
-def _int8_backbone(cfg: PoseConfig, qvariables: dict, x):
+def _chain_consumer(site: str) -> str | None:
+    """The next conv in a ResNet bottleneck's linear chain (the only
+    places _walk_backbone feeds one conv_fn output straight into another,
+    models/resnet.py BottleneckV1), or None at a graph branch point."""
+    if site.endswith("/conv1"):
+        return site[:-1] + "2"
+    if site.endswith("/conv2"):
+        return site[:-1] + "3"
+    return None
+
+
+def _quantize_to(x, scale):
+    xf = x.astype(jnp.float32)
+    return jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+
+
+def _int8_backbone(cfg: PoseConfig, qvariables: dict, x,
+                   carry_dtype: Any = jnp.bfloat16, int8_carry: bool = True):
     """The int8 backbone walk (shared by apply and calibration passes)."""
     qw = qvariables["qw"]
     oscale = qvariables["oscale"]
@@ -229,13 +263,19 @@ def _int8_backbone(cfg: PoseConfig, qvariables: dict, x):
 
     def conv_fn(site, x, stride, rate, relu):
         k = qw[site].shape[0]
-        inv_sx = 1.0 / act_scale[site]
-        xq = jnp.clip(jnp.round(x * inv_sx), -127, 127).astype(jnp.int8)
+        # int8 input => the producer already requantized with THIS site's
+        # act_scale (the _chain_consumer contract below)
+        xq = x if x.dtype == jnp.int8 else _quantize_to(x, act_scale[site])
         y = _conv(xq, qw[site], stride, rate,
                   "SAME" if mobile else _pad_for(k, stride, rate),
                   preferred=jnp.int32)
         y = y.astype(jnp.float32) * oscale[site] + bias[site]
-        return act(y) if relu else y
+        if relu:
+            y = act(y)
+        nxt = _chain_consumer(site) if (int8_carry and not mobile) else None
+        if nxt is not None and nxt in qw:
+            return _quantize_to(y, act_scale[nxt])
+        return y.astype(carry_dtype)
 
     if mobile:
         from deepgraphpose_tpu.models.mobilenet import WIDTHS
@@ -244,8 +284,9 @@ def _int8_backbone(cfg: PoseConfig, qvariables: dict, x):
 
         def dw_fn(site, x, stride, rate):
             w, b = dw[site]["w"], dw[site]["b"]
-            y = _conv(x, w, stride, rate, "SAME", groups=w.shape[-1])
-            return jax.nn.relu6(y + b)
+            y = _conv(x.astype(w.dtype), w, stride, rate, "SAME",
+                      groups=w.shape[-1])
+            return jax.nn.relu6(y + b).astype(carry_dtype)
 
         return _walk_mobilenet(cfg, WIDTHS[cfg.net_type], x, conv_fn, dw_fn)
     return _walk_backbone(cfg, BLOCK_UNITS[cfg.net_type], x, conv_fn)
@@ -303,7 +344,9 @@ def _collect_forward(cfg: PoseConfig, folded: dict, images,
 def quantize_model(cfg: PoseConfig, variables: dict, calib_images,
                    dtype: Any = jnp.bfloat16, calib_batch: int = 8,
                    calib_percentile: float | None = None,
-                   bias_correction: bool = True
+                   bias_correction: bool = True,
+                   carry_dtype: Any = jnp.bfloat16,
+                   int8_carry: bool = True
                    ) -> tuple[QuantizedPoseModel, dict]:
     """Build the int8 model from trained f32 variables.
 
@@ -374,7 +417,8 @@ def quantize_model(cfg: PoseConfig, variables: dict, calib_images,
             qvariables["bias"][site] = bias[site] + jnp.asarray(
                 np.mean(diffs[site], axis=0), jnp.float32)
 
-    return QuantizedPoseModel(cfg, dtype=dtype), qvariables
+    return QuantizedPoseModel(cfg, dtype=dtype, carry_dtype=carry_dtype,
+                              int8_carry=int8_carry), qvariables
 
 
 def calib_frames_from_video(video_file, n: int = 8, new_size=None,

@@ -98,10 +98,12 @@ def test_export_int8_quantized_roundtrip(tmp_path):
     model, variables = init_model(cfg, jax.random.PRNGKey(0), (48, 64))
     rng = np.random.default_rng(0)
     calib = rng.integers(0, 255, (2, 48, 64, 3)).astype(np.float32)
-    # f32 heads: bf16 constant-folding in the exported artifact reassociates
-    # differently from the live jit (~0.006 cells); f32 pins them together
+    # f32 heads AND carry: bf16 constant-folding in the exported artifact
+    # reassociates differently from the live jit (~0.006 cells); f32 pins
+    # them together (intra-chain int8 carries are exact either way)
     qmodel, qvars = quantize_model(cfg, variables, calib,
-                                   dtype=jax.numpy.float32)
+                                   dtype=jax.numpy.float32,
+                                   carry_dtype=jax.numpy.float32)
 
     art = tmp_path / "pose_int8.stablehlo"
     export_infer_artifact(qmodel, cfg, qvars, (48, 64), batch_size=2,
