@@ -26,6 +26,10 @@ Modes (BENCH_MODE):
       BENCH_TRAIN_AUG=1 benches the production configuration instead:
       HBM frame pool gather + full on-device augmentation (fast warp)
       fused into the same step (train/device_data.py).
+      BENCH_TRAIN_WINDOWS=G benches G windows per optimizer update
+      (fit_dgp(windows_per_device=G) on a 1-device mesh) — grad-averaging
+      over G windows fills the MXU better than one 11-frame window
+      (PERF.md training roofline: G=2 measures 1.27x per-frame).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
@@ -360,6 +364,7 @@ def bench_train_step(cfg, model, variables, h, w, net_type, dtype_name):
     tx = steps_lib.make_optimizer(0.005, clip_norm=10.0)
     opt_state = tx.init(variables["params"])
     with_aug = os.environ.get("BENCH_TRAIN_AUG", "") == "1"
+    n_windows = int(os.environ.get("BENCH_TRAIN_WINDOWS", "1"))
 
     rng = np.random.default_rng(0)
     vis = np.zeros(t * nj, np.float32)
@@ -371,7 +376,32 @@ def bench_train_step(cfg, model, variables, h, w, net_type, dtype_name):
         frame_mask=jnp.ones(t), wt_batch=jnp.zeros(t - 1),
         pair_mask=jnp.ones(t - 1), flow=jnp.zeros((t - 1, 8, 8))).items()}
 
-    if with_aug:
+    if n_windows > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from deepgraphpose_tpu.parallel import mesh as mesh_lib
+        from deepgraphpose_tpu.parallel.train_dp import \
+            make_dp_pooled_dgp_train_step
+
+        mesh = mesh_lib.make_mesh(1)
+        pool = rng.integers(0, 255, (64, h, w, 3), dtype=np.uint8)
+        pool = jax.device_put(pool, NamedSharding(mesh, PartitionSpec()))
+        rows = np.tile(np.arange(t, dtype=np.int32), (n_windows, 1))
+        batch_g = {k: np.stack([np.asarray(v)] * n_windows)
+                   for k, v in batch.items()}
+        gstep = make_dp_pooled_dgp_train_step(model, lp, tx, mesh)
+        variables = mesh_lib.replicate(variables, mesh)
+        opt_state = mesh_lib.replicate(opt_state, mesh)
+        rows_d = mesh_lib.shard_leading_axis(rows, mesh)
+        batch_d = mesh_lib.shard_leading_axis(batch_g, mesh)
+        key = jax.random.PRNGKey(0)
+
+        def step(variables, opt_state, it):
+            keys = mesh_lib.shard_leading_axis(
+                np.asarray(jax.random.split(jax.random.fold_in(key, it),
+                                            n_windows)), mesh)
+            return gstep(variables, opt_state, pool, rows_d, batch_d, keys)
+    elif with_aug:
         from deepgraphpose_tpu.ops.augment_device import DeviceAugmentConfig
         from deepgraphpose_tpu.train import device_data as dd
 
@@ -407,12 +437,14 @@ def bench_train_step(cfg, model, variables, h, w, net_type, dtype_name):
         dt = (time.perf_counter() - t0) / n_iter
         best = max(best, 1.0 / dt)
         assert np.isfinite(loss)
-    suffix = "_poolaug" if with_aug else ""
+    suffix = (f"_w{n_windows}" if n_windows > 1
+              else "_poolaug" if with_aug else "")
+    frames_per_iter = t * max(n_windows, 1)
     print(json.dumps({
         "metric": f"dgp_train_step_{net_type}_{t}x{h}x{w}_{dtype_name}"
                   f"{suffix}",
         "value": round(best, 2), "unit": "iterations/sec/chip",
-        "vs_baseline": round(best * t / 113.0, 3),
+        "vs_baseline": round(best * frames_per_iter / 113.0, 3),
         "baseline": "self-relative: this repo's round-1 measurement "
                     "(113 frames/s through the train step, PERF.md); the "
                     "reference publishes no training throughput",

@@ -674,6 +674,7 @@ def fit_dgp_labeledonly(snapshot: str = "snapshot-step0-final--0",
                         lr: float | None = None,
                         lr_decay: bool = False,
                         data_parallel: bool | int = False,
+                        windows_per_device: int = 1,
                         scan_iters: int | None = None) -> Path | None:
     """Step 1: DGP objective, visible-frame losses only
     (ref: fitdgp.py:257-546 — one visible frame per iteration)."""
@@ -685,7 +686,8 @@ def fit_dgp_labeledonly(snapshot: str = "snapshot-step0-final--0",
         trainingsetindex=trainingsetindex, compute_dtype=compute_dtype,
         resume=resume, debug=debug, tb_log=tb_log, bn_train=bn_train,
         device_data=device_data, lr=lr, lr_decay=lr_decay,
-        data_parallel=data_parallel, scan_iters=scan_iters)
+        data_parallel=data_parallel, windows_per_device=windows_per_device,
+        scan_iters=scan_iters)
 
 
 def fit_dgp(snapshot: str = "snapshot-step1-final--0",
@@ -703,6 +705,7 @@ def fit_dgp(snapshot: str = "snapshot-step1-final--0",
             device_flow: bool = False,
             lr_decay: bool = False,
             data_parallel: bool | int = False,
+            windows_per_device: int = 1,
             scan_iters: int | None = None) -> Path | None:
     """Step 2: full semi-supervised DGP (ref: fitdgp.py:549-845).
 
@@ -717,6 +720,13 @@ def fit_dgp(snapshot: str = "snapshot-step1-final--0",
     update; gradients/BN stats all-reduce over ICI (parallel/train_dp.py).
     Requires the device-data pools; composes with ``bn_train``, ``aug``,
     and ``device_flow``.
+    ``windows_per_device`` batches that many schedule windows per device
+    per optimizer update (grad-averaging semantics, exactly
+    ``data_parallel`` over n_dp*W windows). Measured on v5e
+    (PERF.md training roofline): 2 windows/device cost 83 ms vs 2x106 ms,
+    a 1.27x per-frame train-step throughput win; saturates above 2.
+    Works single-device too (``data_parallel=False, windows_per_device=2``
+    uses a 1-device mesh).
     ``scan_iters`` runs K schedule windows per dispatch via ``lax.scan``
     on the single-device pool path (None = auto: 20 on TPU) — one host
     round trip per K optimizer updates instead of per update."""
@@ -729,7 +739,8 @@ def fit_dgp(snapshot: str = "snapshot-step1-final--0",
         compute_dtype=compute_dtype, resume=resume, debug=debug,
         tb_log=tb_log, bn_train=bn_train, device_data=device_data, lr=lr,
         device_flow=device_flow, lr_decay=lr_decay,
-        data_parallel=data_parallel, scan_iters=scan_iters)
+        data_parallel=data_parallel, windows_per_device=windows_per_device,
+        scan_iters=scan_iters)
 
 
 def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
@@ -738,7 +749,8 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
                   compute_dtype, resume, debug, tb_log=False,
                   bn_train=None, device_data=None, lr=None,
                   device_flow=False, lr_decay=False,
-                  data_parallel=False, scan_iters=None) -> Path | None:
+                  data_parallel=False, windows_per_device=1,
+                  scan_iters=None) -> Path | None:
     proj, cfg, train_dir = resolve_project(dlcpath, shuffle, trainingsetindex)
     if ckpt_lib.snapshot_exists(train_dir, step, debug):
         print(f"snapshot-step{step}{debug}-final--0 exists; skipping")
@@ -836,23 +848,32 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
             print(f"warning: {e}; falling back to host batches")
             use_spill = False
     n_dp = _resolve_data_parallel(data_parallel)
-    if n_dp > 1 and use_spill:
-        print(f"warning: fit_dgp(data_parallel={data_parallel}) does not "
-              "support segment-rotating pools; training single-device")
-        n_dp = 0
-    elif n_dp > 1 and not use_pool:
-        print(f"warning: fit_dgp(data_parallel={data_parallel}) requires "
-              "the device-data frame pools; training single-device")
-        n_dp = 0
+    wpd = max(int(windows_per_device), 1)
+    if wpd > 1 and n_dp == 0:
+        n_dp = 1  # multi-window updates on one device ride the DP machinery
+    dp_G = n_dp * wpd  # windows per optimizer update (global batch)
+    if dp_G > 1 and use_spill:
+        print(f"warning: fit_dgp(data_parallel={data_parallel}, "
+              f"windows_per_device={wpd}) does not support "
+              "segment-rotating pools; training single-device")
+        n_dp = dp_G = 0
+    elif dp_G > 1 and not use_pool:
+        print(f"warning: fit_dgp(data_parallel={data_parallel}, "
+              f"windows_per_device={wpd}) requires the device-data frame "
+              "pools; training single-device")
+        n_dp = dp_G = 0
+    elif dp_G <= 1:
+        n_dp = dp_G = 0
 
     # ``lr_decay=True`` anneals the step's rate with a cosine schedule over
-    # its true OPTIMIZER-UPDATE count (floor 5% of lr): data-parallel
-    # training consumes n_dp schedule windows per update, so the horizon is
-    # n_iters/n_dp, not n_iters — sized on the schedule length the lr would
-    # stay flat-high for the whole DP run. The reference holds its
-    # hard-coded 0.005 flat (fitdgp.py:353, 650) — tuned for warm-started
-    # models; from-scratch step-0 models degrade under a flat rate (EVAL.md).
-    n_updates = -(-n_iters // n_dp) if n_dp > 1 else n_iters
+    # its true OPTIMIZER-UPDATE count (floor 5% of lr): data-parallel /
+    # multi-window training consumes dp_G schedule windows per update, so
+    # the horizon is n_iters/dp_G, not n_iters — sized on the schedule
+    # length the lr would stay flat-high for the whole DP run. The reference
+    # holds its hard-coded 0.005 flat (fitdgp.py:353, 650) — tuned for
+    # warm-started models; from-scratch step-0 models degrade under a flat
+    # rate (EVAL.md).
+    n_updates = -(-n_iters // dp_G) if dp_G > 1 else n_iters
     if lr_decay:
         import optax
 
@@ -887,7 +908,7 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
         aug_cfg_dev = (dd.DeviceAugmentConfig.reference()
                        if augmenter is not None else None)
         augmenter = None
-        if n_dp > 1:
+        if dp_G > 1:
             from deepgraphpose_tpu.parallel import mesh as mesh_lib
             from deepgraphpose_tpu.parallel.train_dp import \
                 make_dp_pooled_dgp_train_step
@@ -908,8 +929,8 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
               f"({total_mb:.0f} MB in HBM)"
               + (", on-device augmentation" if aug_cfg_dev else "")
               + (", on-device LK flow" if flow_on_device else "")
-              + (f", data-parallel x{n_dp} windows/update"
-                 if n_dp > 1 else ""))
+              + (f", data-parallel x{n_dp} devices x {wpd} windows "
+                 f"= {dp_G} windows/update" if dp_G > 1 else ""))
     elif use_spill:
         spill_pools, spill_runs = spill_plan
         aug_cfg_dev = (dd.DeviceAugmentConfig.reference()
@@ -968,7 +989,7 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
             ckpt_lib.save_snapshot(train_dir, step, it, variables, opt_state,
                                    cfg.max_to_keep, debug)
 
-    if use_pool and n_dp > 1:
+    if use_pool and dp_G > 1:
         import jax.numpy as jnp
 
         from deepgraphpose_tpu.parallel import mesh as mesh_lib
@@ -979,8 +1000,8 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
         opt_state = mesh_lib.replicate(opt_state, mesh)
         key0 = jax.random.PRNGKey(seed + 2)
         for gi, (ds_i, grp) in enumerate(
-                _group_schedule_dp(schedule, n_dp, rng)):
-            it = gi * n_dp  # one update consumes n_dp schedule windows
+                _group_schedule_dp(schedule, dp_G, rng)):
+            it = gi * dp_G  # one update consumes dp_G schedule windows
             if it < start_it:
                 continue
             rows_g, batch_g = [], []
@@ -998,14 +1019,14 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
                  for k in batch_g[0]}, mesh)
             keys = mesh_lib.shard_leading_axis(
                 np.asarray(jax.random.split(jax.random.fold_in(key0, gi),
-                                            n_dp)), mesh)
+                                            dp_G)), mesh)
             variables, opt_state, out = pooled_step(
                 variables, opt_state, pools[ds_i].images, rows, batch, keys)
-            handle(it, out, variables, opt_state, stride=n_dp)
-    elif use_pool and dd.resolve_scan_iters(scan_iters, True, n_dp) > 1:
+            handle(it, out, variables, opt_state, stride=dp_G)
+    elif use_pool and dd.resolve_scan_iters(scan_iters, True, dp_G) > 1:
         import jax.numpy as jnp
 
-        scan_k = dd.resolve_scan_iters(scan_iters, True, n_dp)
+        scan_k = dd.resolve_scan_iters(scan_iters, True, dp_G)
         scan_step = dd.make_pooled_dgp_scan_step(
             model, loss_params, tx, aug_cfg_dev, visible_only=visible_only,
             bn_train=bn_train, device_flow=flow_on_device)

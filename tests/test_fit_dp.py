@@ -240,3 +240,37 @@ def test_dp_pooled_dlc_step_matches_single(rng):
                     jax.tree_util.tree_leaves(v2["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fit_dgp_windows_per_device_layout_invariant(dp_project, tmp_path):
+    """data_parallel=4, data_parallel=2+windows_per_device=2, and the
+    single-device windows_per_device=4 mesh all consume the same dp_G=4
+    global batches (same seed -> same grouping/keys), so the trained
+    step-2 params must agree across device layouts — the windows knob is
+    pure layout, not new semantics."""
+    import shutil
+
+    from deepgraphpose_tpu.core.checkpoint import load_snapshot
+    from deepgraphpose_tpu.train.fit import fit_dgp, resolve_project
+
+    finals = []
+    for name, kw in [("dp4", dict(data_parallel=4)),
+                     ("dp2w2", dict(data_parallel=2, windows_per_device=2)),
+                     ("w4", dict(windows_per_device=4))]:
+        root = tmp_path / name
+        shutil.copytree(dp_project, root)
+        for p in (root / "dlc-models").rglob("snapshot-step2*"):
+            p.unlink()
+        snap = fit_dgp(dlcpath=root, batch_size=3, maxiters=8,
+                       displayiters=4, saveiters=100, ns=2, n_max_frames=20,
+                       nepoch=1, aug=True, **kw)
+        assert snap is not None and "final" in snap.name
+        _, cfg, _ = resolve_project(root)
+        model, variables = init_model(cfg, jax.random.PRNGKey(0), (48, 64))
+        variables, _ = load_snapshot(snap, variables)
+        finals.append(jax.device_get(variables["params"]))
+    for other in finals[1:]:
+        for a, b in zip(jax.tree_util.tree_leaves(finals[0]),
+                        jax.tree_util.tree_leaves(other)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
