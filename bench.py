@@ -377,19 +377,24 @@ def bench_train_step(cfg, model, variables, h, w, net_type, dtype_name):
         pair_mask=jnp.ones(t - 1), flow=jnp.zeros((t - 1, 8, 8))).items()}
 
     if n_windows > 1:
-        from jax.sharding import NamedSharding, PartitionSpec
-
         from deepgraphpose_tpu.parallel import mesh as mesh_lib
         from deepgraphpose_tpu.parallel.train_dp import \
             make_dp_pooled_dgp_train_step
 
         mesh = mesh_lib.make_mesh(1)
-        pool = rng.integers(0, 255, (64, h, w, 3), dtype=np.uint8)
-        pool = jax.device_put(pool, NamedSharding(mesh, PartitionSpec()))
+        pool = mesh_lib.replicate(
+            rng.integers(0, 255, (64, h, w, 3), dtype=np.uint8), mesh)
         rows = np.tile(np.arange(t, dtype=np.int32), (n_windows, 1))
         batch_g = {k: np.stack([np.asarray(v)] * n_windows)
                    for k, v in batch.items()}
-        gstep = make_dp_pooled_dgp_train_step(model, lp, tx, mesh)
+        aug_cfg = None
+        if with_aug:
+            from deepgraphpose_tpu.ops.augment_device import \
+                DeviceAugmentConfig
+
+            aug_cfg = DeviceAugmentConfig.reference()
+        gstep = make_dp_pooled_dgp_train_step(model, lp, tx, mesh,
+                                              aug_cfg=aug_cfg)
         variables = mesh_lib.replicate(variables, mesh)
         opt_state = mesh_lib.replicate(opt_state, mesh)
         rows_d = mesh_lib.shard_leading_axis(rows, mesh)
@@ -437,8 +442,8 @@ def bench_train_step(cfg, model, variables, h, w, net_type, dtype_name):
         dt = (time.perf_counter() - t0) / n_iter
         best = max(best, 1.0 / dt)
         assert np.isfinite(loss)
-    suffix = (f"_w{n_windows}" if n_windows > 1
-              else "_poolaug" if with_aug else "")
+    suffix = ((f"_w{n_windows}" + ("_poolaug" if with_aug else ""))
+              if n_windows > 1 else "_poolaug" if with_aug else "")
     frames_per_iter = t * max(n_windows, 1)
     print(json.dumps({
         "metric": f"dgp_train_step_{net_type}_{t}x{h}x{w}_{dtype_name}"

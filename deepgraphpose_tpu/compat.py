@@ -61,13 +61,26 @@ def train_network(config, shuffle: int = 1, trainingsetindex: int = 0,
     """
     del (allow_growth, gputouse, autotune, keepdeconvweights,
          max_snapshots_to_keep)  # cfg.max_to_keep governs snapshot pruning
-    from deepgraphpose_tpu.train.fit import fit_dlc
+    from deepgraphpose_tpu.train.fit import fit_dlc, resolve_project
 
+    # None means "use the project's pose_cfg values" (ref: training.py
+    # reads display_iters/save_iters/multi_step from the train config);
+    # an explicit 0/value is passed through untouched.
+    if displayiters is None or saveiters is None or maxiters is None:
+        _, pose_cfg, _ = resolve_project(Path(config).parent, shuffle,
+                                         trainingsetindex)
+        if displayiters is None:
+            displayiters = getattr(pose_cfg, "display_iters", None) or 1000
+        if saveiters is None:
+            saveiters = getattr(pose_cfg, "save_iters", None) or 50000
+        if maxiters is None:
+            ms = getattr(pose_cfg, "multi_step", None)
+            maxiters = int(ms[-1][1]) if ms else 200000
     return fit_dlc(dlcpath=Path(config).parent, shuffle=shuffle,
                    trainingsetindex=trainingsetindex,
-                   displayiters=displayiters or 1000,
-                   saveiters=saveiters or 50000,
-                   maxiters=maxiters or 200000, **kwargs)
+                   displayiters=max(int(displayiters), 1),
+                   saveiters=max(int(saveiters), 1),
+                   maxiters=int(maxiters), **kwargs)
 
 
 def return_evaluate_network_data(config, shuffle: int = 1,
@@ -93,13 +106,30 @@ def return_evaluate_network_data(config, shuffle: int = 1,
     _, pose_cfg, train_dir = resolve_project(config.parent, shuffle,
                                              trainingsetindex)
     snaps = sorted(Path(train_dir).glob(f"snapshot-*{ckpt_lib.CKPT_SUFFIX}"),
-                   key=ckpt_lib._snapshot_iter)
+                   key=lambda p: (ckpt_lib._step_num(p),
+                                  ckpt_lib._snapshot_iter(p)))
     if Snapindex is not None and Snapindex != "all":
         snaps = [snaps[int(Snapindex)]]
+
+    def _iters_label(snap: Path) -> int:
+        # 'snapshot-step{N}-{it}' -> it; 'snapshot-step{N}-final--0' carries
+        # no iteration in its name (core/checkpoint naming contract), so
+        # label it one past the step's highest numbered sibling — keeping
+        # rows numeric and monotone within a step for reference scripts
+        # that pick the max-iteration row.
+        it = ckpt_lib._snapshot_iter(snap)
+        if it < 10 ** 12 - 1:
+            return it
+        sibling = [ckpt_lib._snapshot_iter(p) for p in snaps
+                   if ckpt_lib._step_num(p) == ckpt_lib._step_num(snap)
+                   and ckpt_lib._snapshot_iter(p) < 10 ** 12 - 1]
+        return (max(sibling) + 1) if sibling else 0
+
     rows = []
     for snap in snaps:
-        res = evaluate_dgp(config, snap, shuffle=shuffle)
-        row = [snap.stem.split("-")[-1],
+        res = evaluate_dgp(config, snap, shuffle=shuffle,
+                           trainingsetindex=trainingsetindex)
+        row = [_iters_label(snap),
                proj.TrainingFraction[trainingsetindex], shuffle,
                res["train_error"], res["test_error"], proj.pcutoff,
                res["train_error_pcutoff"], pose_cfg.net_type, snap.stem]
@@ -132,6 +162,30 @@ def load_demo_data(config, createtrainingset: bool = True):
     cfg["video_sets"] = video_sets
     with open(config, "w") as f:
         yaml.safe_dump(cfg, f, sort_keys=False)
+    # re-root any shipped model configs too (ref: demo_data.py rewrites the
+    # train/test pose_cfg.yaml project paths alongside config.yaml)
+    for pc in root.glob("dlc-models/**/pose_cfg.yaml"):
+        raw = yaml.safe_load(pc.read_text())
+        changed = False
+        for key in ("project_path", "init_weights", "dataset",
+                    "metadataset"):
+            val = raw.get(key)
+            if isinstance(val, str) and os.path.isabs(val) and \
+                    not val.startswith(str(root)):
+                tail = val.split(os.sep)
+                # longest suffix that exists under the new root
+                for i in range(len(tail)):
+                    cand = root / os.sep.join(tail[i:])
+                    if cand.exists():
+                        raw[key] = str(cand)
+                        changed = True
+                        break
+        if raw.get("project_path") != str(root):
+            raw["project_path"] = str(root)
+            changed = True
+        if changed:
+            pc.write_text(yaml.safe_dump(raw, sort_keys=False))
+            print(f"re-rooted {pc.relative_to(root)}")
     print(f"re-rooted {config} at {root}")
     if createtrainingset:
         from deepgraphpose_tpu.project import create_training_dataset
@@ -190,7 +244,11 @@ def adddatasetstovideolistandviceversa(config, prefix: str = "videos",
         cfg = yaml.safe_load(f)
     video_sets = dict(cfg.get("video_sets") or {})
     names = {Path(v).stem: v for v in video_sets}
-    folders = [d.name for d in (root / "labeled-data").iterdir()
+    labeled_dir = root / "labeled-data"
+    if not labeled_dir.is_dir():
+        print(f"no labeled-data folder under {root}; nothing to reconcile")
+        return 0, 0
+    folders = [d.name for d in labeled_dir.iterdir()
                if d.is_dir() and "_labeled" not in d.name]
 
     removed = [v for stem, v in names.items() if stem not in folders]
@@ -205,12 +263,15 @@ def adddatasetstovideolistandviceversa(config, prefix: str = "videos",
         if w is None or h is None:
             import cv2
 
-            imgs = sorted((root / "labeled-data" / folder).glob("*.png"))
-            if imgs:
-                im = cv2.imread(str(imgs[0]))
+            imgs = sorted(p for ext in ("*.png", "*.jpg", "*.jpeg")
+                          for p in (labeled_dir / folder).glob(ext))
+            im = cv2.imread(str(imgs[0])) if imgs else None
+            if im is not None:
                 h, w = im.shape[:2]
             else:
-                w, h = 0, 0
+                print(f"labeled-data/{folder}: no readable frames; "
+                      f"skipping (pass width=/height= to add it)")
+                continue
         entry = str(Path(prefix) / f"{folder}{suffix}")
         video_sets[entry] = {"crop": f"0, {w}, 0, {h}"}
         print(f"adding video entry for labeled-data/{folder}: {entry}")

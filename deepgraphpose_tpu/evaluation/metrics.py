@@ -83,7 +83,7 @@ def load_evaluation_entries(dlcpath: Path, proj, cfg) -> list:
 def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
                  shuffle: int = 1, pcutoff: float | None = None,
                  compute_dtype=None, decode: str = "dgp",
-                 quantize: bool = False) -> dict:
+                 quantize: bool = False, trainingsetindex: int = 0) -> dict:
     """RMSE vs human labels over the train/test split.
 
     Runs the eval graph per labeled image (batched per unique image size)
@@ -103,7 +103,8 @@ def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
     from deepgraphpose_tpu.train.fit import resolve_project
 
     dlcpath = Path(proj_cfg_file).parent
-    proj, cfg, train_dir = resolve_project(dlcpath, shuffle)
+    proj, cfg, train_dir = resolve_project(dlcpath, shuffle,
+                                           trainingsetindex)
     if pcutoff is None:
         pcutoff = proj.pcutoff
     entries = load_evaluation_entries(dlcpath, proj, cfg)

@@ -134,6 +134,9 @@ def analyze_videos(config: str | Path, videos: list, videotype: str = "",
             if crop is not None:
                 print("warning: cropping is not applied in the "
                       "num_outputs > 1 path")
+            if dynamic and dynamic[0]:
+                print("warning: dynamic cropping is not applied in the "
+                      "num_outputs > 1 path (full-frame decode)")
             n = _analyze_multi(config, snap_path, video, dest, shuffle,
                                pose_cfg, scorer, names, num_outputs,
                                batchsize, max_frames, save_as_csv)
@@ -142,6 +145,12 @@ def analyze_videos(config: str | Path, videos: list, videotype: str = "",
             from deepgraphpose_tpu.infer.dynamic import \
                 estimate_pose_dynamic_video
 
+            if crop is not None:
+                print("warning: static cropping is ignored with "
+                      "dynamic=(True, ...) — the tracker crops around the "
+                      "detected animal on the full frame (coordinates are "
+                      "full-frame); pass cropping without dynamic to crop "
+                      "statically")
             labels = estimate_pose_dynamic_video(
                 config, snap_path, video, dest, shuffle=shuffle,
                 detection_threshold=float(dynamic[1]),

@@ -38,17 +38,35 @@ from deepgraphpose_tpu.ops.dgp_objective import DGPLossParams, dgp_loss  # noqa:
 from deepgraphpose_tpu.train import steps as steps_lib  # noqa: E402
 
 
-def timeit(fn, sync, n=10, reps=3):
-    fn()  # compile + warmup
-    sync()
+def timeit(call, n=10, reps=3, fetch=lambda r: r):
+    """Best mean ms/call of ``call(i)`` over ``reps`` windows of ``n``.
+
+    Axon-relay measurement protocol (the three pitfalls recorded in
+    PERF.md "int8 MXU probe", shared with bench.py / int8_conv_probe.py):
+    every dispatch must see distinct inputs (``call`` receives the
+    iteration index and cycles an input ring — the relay elides repeated
+    identical (executable, inputs) pairs, reading far above hardware
+    peak), the sync fetches ONE small element of the LAST call's result
+    (a full-buffer fetch drags MBs through the ~50 MB/s tunnel; device
+    streams execute in order, so the last result completing implies the
+    window did), and no extra call runs inside the timed window.
+    """
+    r = fetch(call(0))
+    np.asarray(r)  # compile + warmup + sync
     best = float("inf")
-    for _ in range(reps):
+    for rep in range(reps):
         t0 = time.perf_counter()
-        for _ in range(n):
-            fn()
-        sync()
+        for i in range(n):
+            r = call(rep * n + i + 1)
+        np.asarray(fetch(r))
         best = min(best, (time.perf_counter() - t0) / n)
     return best * 1e3  # ms
+
+
+def _image_ring(rng, shape, dtype=np.float32, k=3):
+    """k distinct device-resident input variants (see timeit protocol)."""
+    return [jax.device_put(jnp.asarray(
+        rng.uniform(0, 255, shape).astype(dtype))) for _ in range(k)]
 
 
 def main():
@@ -78,8 +96,8 @@ def main():
         visible_mask=jnp.asarray(vis), hidden_mask=jnp.asarray(1 - vis),
         frame_mask=jnp.ones(t), wt_batch=jnp.zeros(t - 1),
         pair_mask=jnp.ones(t - 1), flow=jnp.zeros((t - 1, 8, 8))).items()}
-    images = jax.device_put(jnp.asarray(
-        rng.uniform(0, 255, (t, h, w, 3)), jnp.float32))
+    img_ring = _image_ring(rng, (t, h, w, 3))
+    images = img_ring[0]
     params = variables["params"]
     rest = {k: v for k, v in variables.items() if k != "params"}
 
@@ -91,44 +109,46 @@ def main():
     out = {}
 
     fwd = jax.jit(loss_fn)
-    out["fwd_ms"] = timeit(lambda: fwd(params, images),
-                           lambda: np.asarray(fwd(params, images)))
+    out["fwd_ms"] = timeit(
+        lambda i: fwd(params, img_ring[i % len(img_ring)]))
 
     grad = jax.jit(jax.value_and_grad(loss_fn))
-    out["grad_ms"] = timeit(lambda: grad(params, images)[0],
-                            lambda: np.asarray(grad(params, images)[0]))
+    out["grad_ms"] = timeit(
+        lambda i: grad(params, img_ring[i % len(img_ring)])[0])
 
     rloss = jax.checkpoint(loss_fn,
                            policy=jax.checkpoint_policies.nothing_saveable)
     gremat = jax.jit(jax.value_and_grad(rloss))
     out["grad_remat_ms"] = timeit(
-        lambda: gremat(params, images)[0],
-        lambda: np.asarray(gremat(params, images)[0]))
+        lambda i: gremat(params, img_ring[i % len(img_ring)])[0])
 
     tx = steps_lib.make_optimizer(0.005, clip_norm=10.0)
     opt_state = tx.init(params)
     step = steps_lib.make_dgp_train_step(model, lp, tx)
     state = {"v": variables, "o": opt_state}
 
-    def run_step():
-        state["v"], state["o"], o = step(state["v"], state["o"], images,
-                                         batch)
+    def run_step(i):
+        # params/opt_state evolve every call, so inputs are fresh by
+        # construction; the image ring varies the data side too
+        state["v"], state["o"], o = step(state["v"], state["o"],
+                                         img_ring[i % len(img_ring)], batch)
         return o
 
-    out["step_ms"] = timeit(run_step,
-                            lambda: np.asarray(run_step()["total_loss"]))
+    out["step_ms"] = timeit(run_step, fetch=lambda o: o["total_loss"])
 
     # efficiency reference: the b=128 inference forward
     from deepgraphpose_tpu.infer.predict import make_infer_fn
 
     infer = make_infer_fn(model, cfg)
-    frames = jax.device_put(rng.integers(0, 255, (128, h, w, 3),
-                                         dtype=np.uint8))
+    frame_ring = [jax.device_put(rng.integers(0, 255, (128, h, w, 3),
+                                              dtype=np.uint8))
+                  for _ in range(3)]
     # the train step donates its inputs, so use the live post-step variables
     live = state["v"]
     out["infer128_ms"] = timeit(
-        lambda: infer(live, frames),
-        lambda: np.asarray(infer(live, frames)[0]))
+        lambda i: infer(live, frame_ring[i % len(frame_ring)]),
+        fetch=lambda r: r[0][0, 0, 0])
+    del frame_ring
 
     # window-batching sweep: grad over G stacked windows (vmapped forward,
     # mean loss — the data_parallel=G math on one chip). If per-window cost
@@ -138,7 +158,7 @@ def main():
     params_l = state["v"]["params"]
     rest_l = {k: v for k, v in state["v"].items() if k != "params"}
     for G in (2, 4):
-        imgs_g = jax.device_put(jnp.stack([images] * G))
+        imgs_ring = [jax.device_put(jnp.stack([im] * G)) for im in img_ring]
         batch_g = {k: jnp.stack([v] * G) for k, v in batch.items()}
 
         def gloss(p, imgs_g, batch_g):
@@ -150,10 +170,11 @@ def main():
             return jnp.mean(jax.vmap(one)(imgs_g, batch_g))
 
         gg = jax.jit(jax.value_and_grad(gloss))
-        ms = timeit(lambda: gg(params_l, imgs_g, batch_g)[0],
-                    lambda: np.asarray(gg(params_l, imgs_g, batch_g)[0]))
+        ms = timeit(lambda i: gg(params_l, imgs_ring[i % len(imgs_ring)],
+                                 batch_g)[0])
         out[f"grad_G{G}_ms"] = ms
         out[f"grad_G{G}_per_window_ms"] = ms / G
+        del imgs_ring
 
     gf_fwd = 143.0 * t  # XLA-counted 143 GF/frame forward (PERF.md)
     out["fwd_tflops"] = round(gf_fwd / out["fwd_ms"], 1)
