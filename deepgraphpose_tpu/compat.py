@@ -194,17 +194,138 @@ def load_demo_data(config, createtrainingset: bool = True):
         create_training_dataset(config, num_shuffles=1)
 
 
-def create_pretrained_human_project(*args, **kwargs):
-    """The reference downloads a pretrained human MPII model
-    (ref: create_project/modelzoo-style download in new_projects). This
-    environment has no network egress and ships no model zoo; import a
-    locally available TF1 checkpoint instead:
-    ``models/tf_import.py`` + ``create_new_project`` cover the workflow.
+# MPII human-pose bodyparts/skeleton the reference hard-codes
+# (ref: create_project/human_dataset.py:88-90)
+MPII_BODYPARTS = ["ankle1", "knee1", "hip1", "hip2", "knee2", "ankle2",
+                  "wrist1", "elbow1", "shoulder1", "shoulder2", "elbow2",
+                  "wrist2", "chin", "forehead"]
+MPII_SKELETON = [["ankle1", "knee1"], ["ankle2", "knee2"],
+                 ["knee1", "hip1"], ["knee2", "hip2"], ["hip1", "hip2"],
+                 ["shoulder1", "shoulder2"], ["shoulder1", "hip1"],
+                 ["shoulder2", "hip2"], ["shoulder1", "elbow1"],
+                 ["shoulder2", "elbow2"], ["chin", "forehead"],
+                 ["elbow1", "wrist1"], ["elbow2", "wrist2"]]
+
+
+def create_pretrained_human_project(project, experimenter, videos,
+                                    working_directory=None,
+                                    copy_videos=False, videotype=".avi",
+                                    createlabeledvideo: bool = True,
+                                    analyzevideo: bool = True,
+                                    ckpt_path: str | None = None):
+    """Human-pose project from a pretrained MPII model
+    (ref: create_project/human_dataset.py:46-143).
+
+    The reference downloads the DeeperCut MPII TF checkpoint
+    (auxfun_models.py:58-76); this environment has no egress, so the
+    weights come from ``ckpt_path`` — a local TF1 checkpoint prefix
+    (converted on the fly via ``models/tf_import``) or one of this
+    package's msgpack snapshots — or from
+    ``models.pretrained.find_pretrained`` search roots. Everything else
+    matches the reference: 14 MPII bodyparts + skeleton, resnet_101,
+    train/test pose_cfg.yaml, then optional analyze + labeled video.
+
+    Returns ``(config_path, train_pose_cfg_path)`` like the reference.
     """
-    raise NotImplementedError(
-        "no network egress for the pretrained-human download; create a "
-        "project with create_new_project and import local TF1 weights via "
-        "deepgraphpose_tpu.models.tf_import")
+    import yaml
+
+    from deepgraphpose_tpu.core import paths as paths_lib
+    from deepgraphpose_tpu.core.config import ProjectConfig
+    from deepgraphpose_tpu.models import pretrained as pretrained_lib
+    from deepgraphpose_tpu.project.new import create_new_project
+
+    cfg_path = create_new_project(project, experimenter, videos,
+                                  working_directory, copy_videos, videotype)
+    cfg = yaml.safe_load(Path(cfg_path).read_text())
+    cfg["bodyparts"] = list(MPII_BODYPARTS)
+    cfg["skeleton"] = [list(p) for p in MPII_SKELETON]
+    cfg["default_net_type"] = "resnet_101"
+    Path(cfg_path).write_text(yaml.safe_dump(cfg, sort_keys=False))
+
+    proj = ProjectConfig.from_yaml(cfg_path)
+    proj.project_path = str(Path(cfg_path).parent)
+    train_dir = Path(paths_lib.train_dir(Path(cfg_path).parent, proj,
+                                         shuffle=1))
+    test_dir = train_dir.parent / "test"
+    train_dir.mkdir(parents=True, exist_ok=True)
+    test_dir.mkdir(parents=True, exist_ok=True)
+
+    if ckpt_path is None:
+        found = pretrained_lib.find_pretrained("resnet_101")
+        ckpt_path = str(found) if found is not None else ""
+    # pose_cfg contract mirrors human_dataset.py:118-134 items2change
+    n_joints = len(MPII_BODYPARTS)
+    train_cfg = {
+        "dataset": "dataset-test.mat",
+        "metadataset": "",
+        "num_joints": n_joints,
+        "all_joints": [[i] for i in range(n_joints)],
+        "all_joints_names": [str(b) for b in MPII_BODYPARTS],
+        "init_weights": str(ckpt_path),
+        "project_path": str(Path(cfg_path).parent),
+        "net_type": "resnet_101",
+        "dataset_type": "default",
+        "max_input_size": 1500,
+        "location_refinement": True,
+        "locref_stdev": 7.2801,
+        "global_scale": 1.0,
+    }
+    (train_dir / "pose_cfg.yaml").write_text(
+        yaml.safe_dump(train_cfg, sort_keys=False))
+    test_keys = ["dataset", "dataset_type", "num_joints", "all_joints",
+                 "all_joints_names", "net_type", "init_weights",
+                 "global_scale", "location_refinement", "locref_stdev"]
+    test_cfg = {k: train_cfg[k] for k in test_keys}
+    test_cfg["scoremap_dir"] = "test"
+    (test_dir / "pose_cfg.yaml").write_text(
+        yaml.safe_dump(test_cfg, sort_keys=False))
+
+    if ckpt_path:
+        _materialize_human_snapshot(train_dir, str(ckpt_path))
+    else:
+        print("note: no local resnet_101 checkpoint available "
+              "(DGP_PRETRAINED_DIR / ckpt_path); project created without "
+              "weights — analyze/label steps skipped")
+        analyzevideo = createlabeledvideo = False
+
+    video_dir = os.path.join(str(Path(cfg_path).parent), "videos")
+    if analyzevideo:
+        from deepgraphpose_tpu.infer.analyze import analyze_videos
+
+        analyze_videos(cfg_path, [video_dir], videotype, save_as_csv=True)
+    if createlabeledvideo:
+        create_labeled_video(cfg_path, [video_dir], videotype)
+        from deepgraphpose_tpu.infer.plotting import plot_trajectories
+
+        plot_trajectories(cfg_path, [video_dir])
+    return cfg_path, str(train_dir / "pose_cfg.yaml")
+
+
+def _materialize_human_snapshot(train_dir: Path, ckpt_path: str) -> None:
+    """Convert a local checkpoint into ``snapshot-step0-final--0.ckpt`` in
+    ``train_dir`` so analyze/evaluate resolve it like any trained model."""
+    import shutil
+
+    import jax
+
+    from deepgraphpose_tpu.core import checkpoint as ckpt_lib
+    from deepgraphpose_tpu.core.config import PoseConfig
+    from deepgraphpose_tpu.models.pose_model import init_model
+
+    if ckpt_path.endswith(ckpt_lib.CKPT_SUFFIX):  # already our format
+        shutil.copy(ckpt_path,
+                    train_dir / f"snapshot-step0-final--0{ckpt_lib.CKPT_SUFFIX}")
+        return
+    from deepgraphpose_tpu.models import tf_import
+
+    cfg = PoseConfig.from_yaml(train_dir / "pose_cfg.yaml")
+    _, variables = init_model(cfg, jax.random.PRNGKey(0))
+    variables, report = tf_import.import_tf_checkpoint(
+        variables, ckpt_path, net_type=cfg.net_type,
+        scopes=("resnet", "pose"))
+    print(f"imported local TF checkpoint {ckpt_path} "
+          f"({len(report['imported'])} vars)")
+    ckpt_lib.save_snapshot(train_dir, 0, "final--0", variables)
 
 
 def create_training_model_comparison(config, trainindex: int = 0,

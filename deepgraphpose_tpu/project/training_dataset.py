@@ -66,6 +66,17 @@ def split_trials(n: int, train_fraction: float, seed: int | None = None
     return np.sort(perm[:n_train]), np.sort(perm[n_train:])
 
 
+def _default_init_weights(net_type: str) -> str:
+    """Resolve a local ImageNet checkpoint for ``net_type``, the reference's
+    Check4weights step when writing pose_cfg (ref:
+    trainingsetmanipulation.py:741-747, auxfun_models.py:15-35). No egress:
+    an absent checkpoint returns "" and training starts from scratch."""
+    from deepgraphpose_tpu.models.pretrained import find_pretrained
+
+    found = find_pretrained(net_type)
+    return str(found) if found is not None else ""
+
+
 def create_training_dataset(config: str | Path, num_shuffles: int = 1,
                             Shuffles: list | None = None,
                             trainIndexes=None, testIndexes=None,
@@ -135,7 +146,7 @@ def create_training_dataset(config: str | Path, num_shuffles: int = 1,
                 all_joints_names=list(proj.bodyparts),
                 dataset=datafn, metadataset=metafn,
                 project_path=str(project_path),
-                init_weights=proj.resnet or "")
+                init_weights=proj.resnet or _default_init_weights(net_type))
             pose_cfg.to_yaml(mf / "train" / "pose_cfg.yaml")
             # test config: no dataset-dependent fields beyond scoring setup
             pose_cfg.replace(dataset=datafn).to_yaml(

@@ -48,6 +48,15 @@ def main(argv=None) -> int:
                     "is the stable setting for from-scratch models)")
     ap.add_argument("--wt", type=float, default=0.0)
     ap.add_argument("--devflow", action="store_true")
+    ap.add_argument("--gm2", type=int, default=0,
+                    help="confidence scaling of hidden CE "
+                    "(ref: fitdgp.py:994-1021)")
+    ap.add_argument("--gm3", type=int, default=0,
+                    help="confidence gating of hidden CE "
+                    "(ref: fitdgp.py:1026-1037)")
+    ap.add_argument("--warmstart-from", type=Path, default=None,
+                    help="existing workdir whose steps 0-1 snapshots are "
+                    "copied in so only step 2 trains (for arm sweeps)")
     ap.add_argument("--seed", type=int, default=0,
                     help="split seed for create_training_dataset")
     ap.add_argument("--fresh", action="store_true")
@@ -65,6 +74,22 @@ def main(argv=None) -> int:
                                              fit_dlc, resolve_project)
 
     args.workdir.mkdir(parents=True, exist_ok=True)
+    if (args.warmstart_from is not None
+            and not (args.workdir / "Reaching-Mackenzie-2018-08-30").exists()):
+        import shutil
+        src = args.warmstart_from / "Reaching-Mackenzie-2018-08-30"
+        dst = args.workdir / "Reaching-Mackenzie-2018-08-30"
+        print(f"warm-starting from {src}", flush=True)
+        shutil.copytree(src, dst)
+        # drop step-2 artifacts so only step 2 retrains (0/1 skip-if-final)
+        for p in dst.rglob("snapshot-step2-*"):
+            p.unlink()
+        for p in dst.rglob("learning_stats_step2*.csv"):
+            p.unlink()
+        import yaml as _yaml
+        c = _yaml.safe_load((dst / "config.yaml").read_text())
+        c["project_path"] = str(dst)
+        (dst / "config.yaml").write_text(_yaml.safe_dump(c, sort_keys=False))
     proj_dir = make_workdir(args.workdir, fresh=args.fresh)
     cfg_path = proj_dir / "config.yaml"
     cfg = yaml.safe_load(cfg_path.read_text())
@@ -116,12 +141,13 @@ def main(argv=None) -> int:
         timings["step1_s"] = round(time.time() - t0, 1)
 
         t0 = time.time()
-        print(f"=== step 2: fit_dgp ({it2} iters, wt={args.wt}) ===",
-              flush=True)
+        print(f"=== step 2: fit_dgp ({it2} iters, wt={args.wt}, "
+              f"gm2={args.gm2}, gm3={args.gm3}) ===", flush=True)
         fit_dgp(snapshot="snapshot-step1-final--0", dlcpath=proj_dir,
                 batch_size=10, maxiters=it2,
                 displayiters=max(it2 // 10, 1),
                 saveiters=max(it2 // 2, 1), wt=args.wt,
+                gm2=args.gm2, gm3=args.gm3,
                 device_flow=args.devflow, lr=args.dgp_lr, lr_decay=True)
         timings["step2_s"] = round(time.time() - t0, 1)
 
@@ -148,7 +174,9 @@ def main(argv=None) -> int:
     record = dict(date=stamp, platform=platform, tag="sparse",
                   fraction=args.fraction, iters=[it0, it1, it2],
                   step0_batch=args.step0_batch, dgp_lr=args.dgp_lr,
-                  wt=args.wt, devflow=bool(args.devflow), seed=args.seed,
+                  wt=args.wt, devflow=bool(args.devflow), gm2=args.gm2,
+                  gm3=args.gm3, seed=args.seed,
+                  warmstart=str(args.warmstart_from or ""),
                   timings=timings, results=rows)
     json_path = REPO_ROOT / "EVAL.json"
     history = json.loads(json_path.read_text()) if json_path.exists() else []

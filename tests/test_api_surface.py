@@ -111,3 +111,68 @@ def test_compat_project_helpers(tmp_path):
     # return_train_network_path points at real files
     tr, te, td = dgp.return_train_network_path(cfg_file, shuffle=1)
     assert tr.exists() and td.is_dir()
+
+
+def test_pretrained_weights_shim(tmp_path, monkeypatch):
+    """Local Check4weights contract (ref: auxfun_models.py:15-56)."""
+    from deepgraphpose_tpu.models import pretrained
+
+    # unknown net type -> num_shuffles=-1, as the reference signals it
+    _, n = pretrained.check_for_weights("alexnet", num_shuffles=3)
+    assert n == -1
+
+    # known type, absent locally: canonical path returned, shuffles kept
+    monkeypatch.delenv("DGP_PRETRAINED_DIR", raising=False)
+    path, n = pretrained.check_for_weights("resnet_50", num_shuffles=2)
+    assert n == 2 and path.endswith("resnet_v1_50.ckpt")
+
+    # env-root resolution finds a checkpoint prefix by its .index file
+    root = tmp_path / "weights"
+    root.mkdir()
+    (root / "resnet_v1_101.ckpt.index").write_bytes(b"")
+    monkeypatch.setenv("DGP_PRETRAINED_DIR", str(root))
+    assert pretrained.find_pretrained("resnet_101") == (
+        root / "resnet_v1_101.ckpt")
+    got, n = pretrained.check_for_weights("resnet_101")
+    assert got == str(root / "resnet_v1_101.ckpt") and n == 1
+
+    # the download surface is a documented no-egress error
+    with pytest.raises(RuntimeError, match="egress"):
+        pretrained.download_weights("resnet_50", root / "x.ckpt")
+
+
+def test_create_pretrained_human_project(tmp_path):
+    """Local-checkpoint human project (ref: human_dataset.py:46-143)."""
+    import cv2
+    import numpy as np
+    import yaml
+
+    import deepgraphpose_tpu as dgp
+    from deepgraphpose_tpu.compat import MPII_BODYPARTS
+
+    vid = tmp_path / "person.avi"
+    wr = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"MJPG"), 10.0,
+                         (64, 48))
+    for _ in range(4):
+        wr.write(np.zeros((48, 64, 3), np.uint8))
+    wr.release()
+
+    snap = tmp_path / "mpii-local.ckpt"  # our-format branch: copied verbatim
+    snap.write_bytes(b"msgpack-snapshot-bytes")
+
+    cfg_path, pose_cfg_path = dgp.create_pretrained_human_project(
+        "human", "tester", [str(vid)], working_directory=str(tmp_path),
+        copy_videos=True, analyzevideo=False, createlabeledvideo=False,
+        ckpt_path=str(snap))
+
+    cfg = yaml.safe_load(open(cfg_path))
+    assert cfg["bodyparts"] == MPII_BODYPARTS
+    assert cfg["default_net_type"] == "resnet_101"
+    from pathlib import Path
+    train_dir = Path(pose_cfg_path).parent
+    pc = yaml.safe_load(open(pose_cfg_path))
+    assert pc["num_joints"] == 14 and pc["net_type"] == "resnet_101"
+    assert (train_dir.parent / "test" / "pose_cfg.yaml").exists()
+    # the local checkpoint materialized under the snapshot naming contract
+    assert (train_dir / "snapshot-step0-final--0.ckpt").read_bytes() == \
+        b"msgpack-snapshot-bytes"
