@@ -30,6 +30,10 @@ Modes (BENCH_MODE):
       (fit_dgp(windows_per_device=G) on a 1-device mesh) — grad-averaging
       over G windows fills the MXU better than one 11-frame window
       (PERF.md training roofline: G=2 measures 1.27x per-frame).
+      BENCH_TRAIN_SCAN=K adds the lax.scan superstep (K updates per
+      dispatch); combined with WINDOWS=G it measures the composed path
+      (fit_dgp(windows_per_device=G, scan_iters=K)) — reported rate is
+      per optimizer UPDATE, i.e. dispatch_time / K.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
@@ -365,6 +369,7 @@ def bench_train_step(cfg, model, variables, h, w, net_type, dtype_name):
     opt_state = tx.init(variables["params"])
     with_aug = os.environ.get("BENCH_TRAIN_AUG", "") == "1"
     n_windows = int(os.environ.get("BENCH_TRAIN_WINDOWS", "1"))
+    scan_k = int(os.environ.get("BENCH_TRAIN_SCAN", "0"))
 
     rng = np.random.default_rng(0)
     vis = np.zeros(t * nj, np.float32)
@@ -376,7 +381,53 @@ def bench_train_step(cfg, model, variables, h, w, net_type, dtype_name):
         frame_mask=jnp.ones(t), wt_batch=jnp.zeros(t - 1),
         pair_mask=jnp.ones(t - 1), flow=jnp.zeros((t - 1, 8, 8))).items()}
 
-    if n_windows > 1:
+    updates_per_dispatch = 1
+    if scan_k > 1:
+        # composed superstep: lax.scan over K updates per dispatch,
+        # each update pooling grads over n_windows windows (the two
+        # single-chip levers stacked — BENCH_TRAIN_WINDOWS=2
+        # BENCH_TRAIN_SCAN=10 measures the PERF.md composition)
+        from deepgraphpose_tpu.ops.augment_device import DeviceAugmentConfig
+        from deepgraphpose_tpu.train import device_data as dd
+
+        updates_per_dispatch = scan_k
+        aug_cfg = DeviceAugmentConfig.reference() if with_aug else None
+        pool = jax.device_put(rng.integers(0, 255, (64, h, w, 3),
+                                           dtype=np.uint8))
+        key = jax.random.PRNGKey(0)
+        batch_np = {k: np.asarray(v) for k, v in batch.items()}
+        if n_windows > 1:
+            sstep = dd.make_pooled_dgp_group_scan_step(model, lp, tx,
+                                                       aug_cfg=aug_cfg)
+            rows_st = jax.device_put(np.tile(
+                np.arange(t, dtype=np.int32), (scan_k, n_windows, 1)))
+            batch_st = {k: jax.device_put(np.broadcast_to(
+                v, (scan_k, n_windows) + v.shape).copy())
+                for k, v in batch_np.items()}
+
+            def keys_for(it):
+                ks = [np.asarray(jax.random.split(
+                    jax.random.fold_in(key, it * scan_k + j), n_windows))
+                    for j in range(scan_k)]
+                return jax.device_put(np.stack(ks))
+        else:
+            sstep = dd.make_pooled_dgp_scan_step(model, lp, tx,
+                                                 aug_cfg=aug_cfg)
+            rows_st = jax.device_put(np.tile(np.arange(t, dtype=np.int32),
+                                             (scan_k, 1)))
+            batch_st = {k: jax.device_put(np.broadcast_to(
+                v, (scan_k,) + v.shape).copy()) for k, v in batch_np.items()}
+
+            def keys_for(it):
+                return jax.device_put(np.asarray(jax.random.split(
+                    jax.random.fold_in(key, it), scan_k)))
+
+        def step(variables, opt_state, it):
+            variables, opt_state, outs = sstep(
+                variables, opt_state, pool, rows_st, batch_st, keys_for(it))
+            return variables, opt_state, {
+                k: v[-1] for k, v in outs.items()}
+    elif n_windows > 1:
         from deepgraphpose_tpu.parallel import mesh as mesh_lib
         from deepgraphpose_tpu.parallel.train_dp import \
             make_dp_pooled_dgp_train_step
@@ -439,11 +490,12 @@ def bench_train_step(cfg, model, variables, h, w, net_type, dtype_name):
             variables, opt_state, out = step(variables, opt_state,
                                              r * n_iter + i)
         loss = float(out["total_loss"])  # sync
-        dt = (time.perf_counter() - t0) / n_iter
+        dt = (time.perf_counter() - t0) / (n_iter * updates_per_dispatch)
         best = max(best, 1.0 / dt)
         assert np.isfinite(loss)
-    suffix = ((f"_w{n_windows}" + ("_poolaug" if with_aug else ""))
-              if n_windows > 1 else "_poolaug" if with_aug else "")
+    suffix = ((f"_w{n_windows}" if n_windows > 1 else "")
+              + (f"_scan{scan_k}" if scan_k > 1 else "")
+              + ("_poolaug" if with_aug else ""))
     frames_per_iter = t * max(n_windows, 1)
     print(json.dumps({
         "metric": f"dgp_train_step_{net_type}_{t}x{h}x{w}_{dtype_name}"

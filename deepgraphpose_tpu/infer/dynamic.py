@@ -275,7 +275,7 @@ def estimate_pose_dynamic_video(proj_cfg_file, dgp_model_file, video_file,
 
         model, variables = quantize_model(
             cfg, variables, calib_frames_from_video(video_file),
-            dtype=dtype)
+            dtype=dtype, residual_int8=(quantize == "residual"))
 
     # stream chunk-by-chunk with persistent tracking state: an hour-long
     # video does not fit host RAM

@@ -187,8 +187,9 @@ def estimate_pose(proj_cfg_file: str | Path | None,
 
         calib = calib_frames_from_video(video_file, calib_frames,
                                         new_size=new_size, crop=crop)
-        model, variables = quantize_model(pose_cfg, variables, calib,
-                                          dtype=dtype)
+        model, variables = quantize_model(
+            pose_cfg, variables, calib, dtype=dtype,
+            residual_int8=(quantize == "residual"))
 
     infer = make_infer_fn(model, pose_cfg)
 

@@ -111,7 +111,9 @@ def export_from_snapshot(config_path: str | Path, snapshot: str | Path,
         # resize_to: export at a non-native serving size still calibrates
         # (frames are resized to in_hw rather than filtered out)
         calib = calib_frames_from_video(vids[0], resize_to=tuple(in_hw))
-        model, variables = quantize_model(cfg, variables, calib)
+        model, variables = quantize_model(
+            cfg, variables, calib,
+            residual_int8=(quantize == "residual"))
     return export_infer_artifact(model, cfg, variables, in_hw, batch_size,
                                  out_path, platforms)
 

@@ -153,12 +153,21 @@ def _walk_mobilenet(cfg: PoseConfig, width: float, x, conv_fn, dw_fn):
     return x, end_points
 
 
-def _walk_backbone(cfg: PoseConfig, units, x, conv_fn):
+def _walk_backbone(cfg: PoseConfig, units, x, conv_fn, block_out=None,
+                   deq=None):
     """Shared backbone topology; ``conv_fn(site, x, stride, rate, relu)``.
 
     Consumes models/resnet.py::unit_plan so the quantized forward and the
     flax module share one structure definition.
+
+    ``block_out(unit_name, x)`` post-processes each unit's wide (post-add,
+    post-relu) output — the int8 walk uses it to requantize the residual
+    stream; ``deq(unit_name, x)`` widens a possibly-int8 residual input for
+    the identity/max-pool shortcut paths. Both default to identity, which
+    reproduces the plain walk exactly.
     """
+    block_out = block_out or (lambda name, x: x)
+    deq = deq or (lambda name, x: x)
     x = conv_fn("conv1", x, 2, 1, relu=True)
     x = jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
@@ -170,15 +179,16 @@ def _walk_backbone(cfg: PoseConfig, units, x, conv_fn):
                                relu=False)
         elif stride != 1:
             shortcut = jax.lax.reduce_window(
-                x, -jnp.inf, jax.lax.max, (1, 1, 1, 1),
+                deq(name, x), -jnp.inf, jax.lax.max, (1, 1, 1, 1),
                 (1, stride, stride, 1), "VALID")
         else:
-            shortcut = x
+            shortcut = deq(name, x)
         y = conv_fn(f"{name}/conv1", x, 1, 1, relu=True)
         y = conv_fn(f"{name}/conv2", y, stride, rate, relu=True)
         y = conv_fn(f"{name}/conv3", y, 1, 1, relu=False)
         x = jax.nn.relu(shortcut + y)
         end_points[name.split("_")[0]] = x
+        x = block_out(name, x)
     return x, end_points
 
 
@@ -196,6 +206,7 @@ class QuantizedPoseModel:
     dtype: Any = jnp.bfloat16  # head compute dtype
     carry_dtype: Any = jnp.bfloat16
     int8_carry: bool = True
+    residual_int8: bool = False
 
     def apply(self, qvariables: dict, images: jnp.ndarray,
               train: bool = False, return_features: bool = False) -> dict:
@@ -207,7 +218,7 @@ class QuantizedPoseModel:
 
         features, end_points = _int8_backbone(
             cfg, qvariables, x, carry_dtype=self.carry_dtype,
-            int8_carry=self.int8_carry)
+            int8_carry=self.int8_carry, residual_int8=self.residual_int8)
         features = features.astype(self.dtype)
 
         heads = {}
@@ -252,8 +263,20 @@ def _quantize_to(x, scale):
 
 
 def _int8_backbone(cfg: PoseConfig, qvariables: dict, x,
-                   carry_dtype: Any = jnp.bfloat16, int8_carry: bool = True):
-    """The int8 backbone walk (shared by apply and calibration passes)."""
+                   carry_dtype: Any = jnp.bfloat16, int8_carry: bool = True,
+                   residual_int8: bool = False):
+    """The int8 backbone walk (shared by apply and calibration passes).
+
+    ``residual_int8`` extends the narrow carry to the residual stream:
+    each unit's post-add/post-relu output requantizes to int8 with the
+    NEXT unit's conv1 input scale, so block boundaries move 1 byte/elem
+    through HBM instead of 2. The next unit's shortcut_conv shares that
+    tensor; its calibrated input scale is bitwise-identical to conv1's
+    (both statistics were computed on the same activation), so one scale
+    serves both consumers. Identity/max-pool shortcuts dequantize with the
+    same scale before the add. The final unit stays wide (it feeds the
+    bf16 heads).
+    """
     qw = qvariables["qw"]
     oscale = qvariables["oscale"]
     bias = qvariables["bias"]
@@ -264,7 +287,7 @@ def _int8_backbone(cfg: PoseConfig, qvariables: dict, x,
     def conv_fn(site, x, stride, rate, relu):
         k = qw[site].shape[0]
         # int8 input => the producer already requantized with THIS site's
-        # act_scale (the _chain_consumer contract below)
+        # act_scale (the _chain_consumer / residual block_out contracts)
         xq = x if x.dtype == jnp.int8 else _quantize_to(x, act_scale[site])
         y = _conv(xq, qw[site], stride, rate,
                   "SAME" if mobile else _pad_for(k, stride, rate),
@@ -276,6 +299,24 @@ def _int8_backbone(cfg: PoseConfig, qvariables: dict, x,
         if nxt is not None and nxt in qw:
             return _quantize_to(y, act_scale[nxt])
         return y.astype(carry_dtype)
+
+    block_out = deq = None
+    if residual_int8 and not mobile:
+        names = [n for n, *_ in unit_plan(BLOCK_UNITS[cfg.net_type],
+                                          cfg.output_stride)]
+        next_conv1 = {names[i]: f"{names[i + 1]}/conv1"
+                      for i in range(len(names) - 1)}
+
+        def block_out(name, x):
+            nxt = next_conv1.get(name)
+            if nxt is None:  # last unit: wide, feeds the bf16 heads
+                return x.astype(carry_dtype)
+            return _quantize_to(x, act_scale[nxt])
+
+        def deq(name, x):
+            if x.dtype != jnp.int8:
+                return x
+            return x.astype(jnp.float32) * act_scale[f"{name}/conv1"]
 
     if mobile:
         from deepgraphpose_tpu.models.mobilenet import WIDTHS
@@ -289,7 +330,8 @@ def _int8_backbone(cfg: PoseConfig, qvariables: dict, x,
             return jax.nn.relu6(y + b).astype(carry_dtype)
 
         return _walk_mobilenet(cfg, WIDTHS[cfg.net_type], x, conv_fn, dw_fn)
-    return _walk_backbone(cfg, BLOCK_UNITS[cfg.net_type], x, conv_fn)
+    return _walk_backbone(cfg, BLOCK_UNITS[cfg.net_type], x, conv_fn,
+                          block_out=block_out, deq=deq)
 
 
 def _collect_forward(cfg: PoseConfig, folded: dict, images,
@@ -346,7 +388,8 @@ def quantize_model(cfg: PoseConfig, variables: dict, calib_images,
                    calib_percentile: float | None = None,
                    bias_correction: bool = True,
                    carry_dtype: Any = jnp.bfloat16,
-                   int8_carry: bool = True
+                   int8_carry: bool = True,
+                   residual_int8: bool = False
                    ) -> tuple[QuantizedPoseModel, dict]:
     """Build the int8 model from trained f32 variables.
 
@@ -418,7 +461,8 @@ def quantize_model(cfg: PoseConfig, variables: dict, calib_images,
                 np.mean(diffs[site], axis=0), jnp.float32)
 
     return QuantizedPoseModel(cfg, dtype=dtype, carry_dtype=carry_dtype,
-                              int8_carry=int8_carry), qvariables
+                              int8_carry=int8_carry,
+                              residual_int8=residual_int8), qvariables
 
 
 def calib_frames_from_video(video_file, n: int = 8, new_size=None,

@@ -558,3 +558,123 @@ def make_pooled_dgp_scan_step(model, params_obj: DGPLossParams,
         return variables, opt_state, outs
 
     return step
+
+
+def _make_dgp_group_pool_body(model, params_obj: DGPLossParams,
+                              tx: optax.GradientTransformation,
+                              aug_cfg: DeviceAugmentConfig | None,
+                              visible_only: bool, bn_train: bool,
+                              device_flow: bool):
+    """One G-window pooled DGP update (single device): gradients averaged
+    over a vmapped G-window batch — the same math as the DP pooled step
+    (parallel/train_dp.py window_loss + mean_loss) without the mesh, so
+    the MXU-fill win of multi-window batches composes with the lax.scan
+    dispatch amortization below."""
+    if device_flow and aug_cfg is not None:
+        raise ValueError("group pool body: aug_cfg must be None when "
+                         "device_flow=True (flow needs unaugmented, "
+                         "temporally coherent frames)")
+    key_name = "total_loss_visible" if visible_only else "total_loss"
+    stride = params_obj.stride
+    nj = params_obj.nj
+
+    def window_loss(params, rest, pool_images, rows, batch, k):
+        images = jnp.take(pool_images, rows, axis=0)
+        if aug_cfg is not None:
+            images, batch = augment_dgp_window(k, images, batch, aug_cfg,
+                                               stride, nj)
+        if device_flow:
+            from deepgraphpose_tpu.ops.flow_device import \
+                flow_magnitude_device
+
+            batch = dict(batch, flow=flow_magnitude_device(images))
+        heads, updated = _apply_model(model, params, rest, images, bn_train)
+        out = dgp_loss(heads["part_pred"], heads["locref"], batch,
+                       params_obj)
+        return out[key_name], (out, updated)
+
+    def body(variables, opt_state, pool_images, rows, batch, keys):
+        # rows (G, T), batch tensors G-leading, keys (G, 2)
+        params = variables["params"]
+        rest = {k: v for k, v in variables.items() if k != "params"}
+
+        def mean_loss(p):
+            losses, (outs, updated) = jax.vmap(
+                lambda r, b, k: window_loss(p, rest, pool_images, r, b, k))(
+                    rows, batch, keys)
+            mean = jax.tree_util.tree_map(
+                lambda x: jnp.mean(x, axis=0), (outs, updated))
+            return jnp.mean(losses), mean
+
+        grads, (out, updated) = jax.grad(mean_loss, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        new_vars = {"params": params, **rest}
+        if updated is not None:
+            new_vars["batch_stats"] = updated["batch_stats"]
+        return new_vars, opt_state, out
+
+    return body
+
+
+def make_pooled_dgp_group_scan_step(model, params_obj: DGPLossParams,
+                                    tx: optax.GradientTransformation,
+                                    aug_cfg: DeviceAugmentConfig | None,
+                                    visible_only: bool = False,
+                                    bn_train: bool = False,
+                                    device_flow: bool = False):
+    """K pooled G-window updates per dispatch: ``lax.scan`` over
+    :func:`_make_dgp_group_pool_body`.
+
+    Composes the repo's two single-chip training levers (PERF.md): the
+    multi-window global batch (MXU fill, measured 1.27x at G=2) and the
+    scan superstep (dispatch amortization, measured 1.53x) — previously
+    mutually exclusive because the G-window path rode the DP machinery,
+    which disables scan.
+
+    step(variables, opt_state, pool_images, rows_stack (K, G, T),
+         batch_stack (every DGPBatch tensor with leading (K, G)),
+         keys (K, G, 2)) -> (variables, opt_state, outs) with every loss
+    term stacked to (K,) (each entry already averaged over its G windows).
+    """
+    body = _make_dgp_group_pool_body(model, params_obj, tx, aug_cfg,
+                                     visible_only, bn_train, device_flow)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(variables, opt_state, pool_images, rows_stack, batch_stack,
+             keys):
+        def f(carry, x):
+            v, s = carry
+            rows, batch, key = x
+            v, s, out = body(v, s, pool_images, rows, batch, key)
+            return (v, s), out
+
+        (variables, opt_state), outs = jax.lax.scan(
+            f, (variables, opt_state), (rows_stack, batch_stack, keys))
+        return variables, opt_state, outs
+
+    return step
+
+
+def iter_group_scan_runs(group_ds, start: int, save_every: int | None,
+                         group_stride: int, k: int):
+    """Yield ``(ds_i, a, b)`` chunks over GROUP indices for the composed
+    scan: at most ``k`` consecutive groups, all from one dataset (one
+    frame pool per dispatch). ``group_stride`` is the schedule positions
+    one group consumes (G); a group gi is snapshot-final when iteration
+    ``gi * group_stride`` crosses a ``save_every`` boundary (the trainer
+    saves via ``handle(it, stride=G)``), and such groups always end their
+    chunk so the post-boundary carry is on host for the save."""
+    it, n = start, len(group_ds)
+    while it < n:
+        ds_i = group_ds[it]
+        end = min(it + k, n)
+        r = it
+        while r < end and group_ds[r] == ds_i:
+            r += 1
+            gi = r - 1
+            if (save_every and gi > 0
+                    and (gi * group_stride) % save_every < group_stride):
+                break
+        yield ds_i, it, r
+        it = r

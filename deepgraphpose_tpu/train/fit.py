@@ -725,11 +725,13 @@ def fit_dgp(snapshot: str = "snapshot-step1-final--0",
     ``data_parallel`` over n_dp*W windows). Measured on v5e
     (PERF.md training roofline): 2 windows/device cost 83 ms vs 2x106 ms,
     a 1.27x per-frame train-step throughput win; saturates above 2.
-    Works single-device too (``data_parallel=False, windows_per_device=2``
-    uses a 1-device mesh).
-    ``scan_iters`` runs K schedule windows per dispatch via ``lax.scan``
+    Works single-device too (``data_parallel=False, windows_per_device=2``).
+    ``scan_iters`` runs K optimizer updates per dispatch via ``lax.scan``
     on the single-device pool path (None = auto: 20 on TPU) — one host
-    round trip per K optimizer updates instead of per update."""
+    round trip per K updates instead of per update. Single-device
+    ``windows_per_device > 1`` COMPOSES with it (a scan over K G-window
+    pooled updates); multi-device DP does not (the DP dispatch already
+    amortizes across devices)."""
     return _fit_dgp_impl(
         snapshot=snapshot, dlcpath=dlcpath, shuffle=shuffle, step=step,
         saveiters=saveiters, displayiters=displayiters, maxiters=maxiters,
@@ -908,7 +910,16 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
         aug_cfg_dev = (dd.DeviceAugmentConfig.reference()
                        if augmenter is not None else None)
         augmenter = None
-        if dp_G > 1:
+        # single-device multi-window composes with the scan superstep
+        # (both levers stack: MXU fill x dispatch amortization, PERF.md)
+        group_scan_k = (dd.resolve_scan_iters(scan_iters, True, 1)
+                        if (dp_G > 1 and n_dp == 1) else 0)
+        if dp_G > 1 and group_scan_k > 1:
+            pooled_step = dd.make_pooled_dgp_group_scan_step(
+                model, loss_params, tx, aug_cfg_dev,
+                visible_only=visible_only, bn_train=bn_train,
+                device_flow=flow_on_device)
+        elif dp_G > 1:
             from deepgraphpose_tpu.parallel import mesh as mesh_lib
             from deepgraphpose_tpu.parallel.train_dp import \
                 make_dp_pooled_dgp_train_step
@@ -930,7 +941,9 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
               + (", on-device augmentation" if aug_cfg_dev else "")
               + (", on-device LK flow" if flow_on_device else "")
               + (f", data-parallel x{n_dp} devices x {wpd} windows "
-                 f"= {dp_G} windows/update" if dp_G > 1 else ""))
+                 f"= {dp_G} windows/update" if dp_G > 1 else "")
+              + (f", scan superstep K={group_scan_k}"
+                 if dp_G > 1 and group_scan_k > 1 else ""))
     elif use_spill:
         spill_pools, spill_runs = spill_plan
         aug_cfg_dev = (dd.DeviceAugmentConfig.reference()
@@ -989,7 +1002,45 @@ def _fit_dgp_impl(snapshot, dlcpath, shuffle, step, saveiters, displayiters,
             ckpt_lib.save_snapshot(train_dir, step, it, variables, opt_state,
                                    cfg.max_to_keep, debug)
 
-    if use_pool and dp_G > 1:
+    if use_pool and dp_G > 1 and n_dp == 1 and group_scan_k > 1:
+        # composed single-device path: lax.scan over K G-window pooled
+        # updates (the two PERF.md levers stacked)
+        groups = _group_schedule_dp(schedule, dp_G, rng)
+        group_ds = [g[0] for g in groups]
+        key0 = jax.random.PRNGKey(seed + 2)
+        start_gi = -(-start_it // dp_G)  # resume at the first whole group
+        for ds_i, a, bnd in dd.iter_group_scan_runs(
+                group_ds, start_gi, save_every, dp_G, group_scan_k):
+            rows_l, batch_l = [], []
+            for gi in range(a, bnd):
+                _, grp = groups[gi]
+                rows_g, batch_g = [], []
+                for frames in grp:
+                    vis, hid = split_window(ds_i, frames)
+                    b = assemble_batch(mds.datasets[ds_i], vis, hid,
+                                       pad_to=pad_to, wt=cfg.wt,
+                                       with_images=False)
+                    rows_g.append(pools[ds_i].rows(b.frames))
+                    batch_g.append(b.as_np())
+                rows_l.append(np.stack(rows_g).astype(np.int32))
+                batch_l.append({k: np.stack([bb[k] for bb in batch_g])
+                                for k in batch_g[0]})
+            rows_stack = np.stack(rows_l)  # (K, G, T)
+            batch_stack = {k: np.stack([x[k] for x in batch_l])
+                           for k in batch_l[0]}  # (K, G, ...)
+            keys = np.stack([np.asarray(jax.random.split(
+                jax.random.fold_in(key0, gi), dp_G))
+                for gi in range(a, bnd)])  # (K, G, 2)
+            variables, opt_state, outs = pooled_step(
+                variables, opt_state, pools[ds_i].images,
+                jax.device_put(rows_stack),
+                {k: jax.device_put(v) for k, v in batch_stack.items()},
+                jax.device_put(keys))
+            outs_np = {k: np.asarray(v) for k, v in outs.items()}
+            for j, gi in enumerate(range(a, bnd)):
+                handle(gi * dp_G, {k: v[j] for k, v in outs_np.items()},
+                       variables, opt_state, stride=dp_G)
+    elif use_pool and dp_G > 1:
         import jax.numpy as jnp
 
         from deepgraphpose_tpu.parallel import mesh as mesh_lib

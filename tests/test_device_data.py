@@ -309,3 +309,52 @@ def test_labeled_images_lazy_spill_matches_eager(tmp_path):
     pool_l = dd.LabeledImagePool(lazy, cfg)
     np.testing.assert_array_equal(np.asarray(pool_e.images),
                                   np.asarray(pool_l.images))
+
+
+def test_iter_group_scan_runs():
+    """Chunks over group indices: dataset-homogeneous, snapshot-boundary
+    groups chunk-final (boundary = gi*G crosses save_every)."""
+    # G=2, save_every=4: boundary groups are gi=2 (it=4) and gi=4 (it=8)
+    runs = list(dd.iter_group_scan_runs([0] * 6, 0, 4, 2, 3))
+    assert runs == [(0, 0, 3), (0, 3, 5), (0, 5, 6)]
+    # dataset switch splits a chunk
+    assert list(dd.iter_group_scan_runs([0, 0, 1, 1], 0, None, 2, 8)) == \
+        [(0, 0, 2), (1, 2, 4)]
+    # resume start honored
+    assert list(dd.iter_group_scan_runs([0] * 6, 4, None, 2, 8))[0] == \
+        (0, 4, 6)
+
+
+def test_fit_dgp_group_scan_matches_multiwindow(tmp_path):
+    """The composed path (scan over K G-window pooled updates) must train
+    identically to the G-window DP-machinery path it supersedes on one
+    device, including across a snapshot boundary inside a scan chunk."""
+    params = {}
+    for k in (0, 2):
+        root = _make_proj(tmp_path, f"gsc{k}")
+        fit_dlc(dlcpath=root, maxiters=2, displayiters=1, saveiters=100,
+                device_data=True, bn_train=False, jitter=False)
+        snap2 = fit_dgp(dlcpath=root, batch_size=3, maxiters=8,
+                        displayiters=1, saveiters=4, ns=2, n_max_frames=10,
+                        nepoch=2, aug=False, device_data=True,
+                        bn_train=False, windows_per_device=2, scan_iters=k)
+        assert snap2 is not None
+        params[k] = _final_params(root, 2)
+        _, _, train_dir = resolve_project(root, 1)
+        assert (Path(train_dir) / "snapshot-step2-4.ckpt").exists()
+    for a, b in zip(params[0], params[2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_fit_dgp_group_scan_with_aug_and_bn_smoke(tmp_path):
+    """Composed scan + on-device aug + trainable BN: finite losses, final
+    snapshot lands."""
+    root = _make_proj(tmp_path, "gsab")
+    fit_dlc(dlcpath=root, maxiters=2, displayiters=1, saveiters=100,
+            bn_train=False, jitter=False)
+    snap2 = fit_dgp(dlcpath=root, batch_size=3, maxiters=6, displayiters=1,
+                    saveiters=100, ns=2, n_max_frames=10, nepoch=1,
+                    aug=True, device_data=True, bn_train=True,
+                    windows_per_device=2, scan_iters=2)
+    assert snap2 is not None and snap2.exists()

@@ -183,3 +183,39 @@ def test_bias_correction_changes_biases_and_not_worse():
     err_on = np.abs(out_on - ref).mean()
     # one-shot correction must not make things worse (usually improves)
     assert err_on <= err_off * 1.05, (err_on, err_off)
+
+
+def test_residual_int8_close_to_plain_int8():
+    """The int8 residual carry adds only block-boundary requantization
+    noise on top of the plain int8 model (PERF.md round-4 lever)."""
+    cfg, model, variables, images = _setup()
+    qm, qv = quant_lib.quantize_model(cfg, variables, images,
+                                      dtype=jnp.float32)
+    qm_res, qv_res = quant_lib.quantize_model(cfg, variables, images,
+                                              dtype=jnp.float32,
+                                              residual_int8=True)
+    assert qm_res.residual_int8 and not qm.residual_int8
+    ref = model.apply(variables, jnp.asarray(images))
+    out = jax.jit(qm.apply)(qv, jnp.asarray(images))
+    out_res = jax.jit(qm_res.apply)(qv_res, jnp.asarray(images))
+    for k in ("part_pred", "locref"):
+        r = np.asarray(ref[k])
+        q = np.asarray(out_res[k])
+        assert np.all(np.isfinite(q))
+        scale = np.abs(r).max() + 1e-9
+        # vs f32: same class of bound as the plain int8 model
+        assert np.abs(q - r).max() / scale < 0.30, k
+        # vs plain int8: the carries add little on top
+        p = np.asarray(out[k])
+        assert np.abs(q - p).max() / scale < 0.15, k
+        assert np.corrcoef(r.ravel(), q.ravel())[0, 1] > 0.99, k
+
+    # scoremap argmax stays put
+    r = np.asarray(ref["part_pred"])
+    q = np.asarray(out_res["part_pred"])
+    b, h, w, nj = r.shape
+    ri = r.reshape(b, -1, nj).argmax(1)
+    qi = q.reshape(b, -1, nj).argmax(1)
+    rrc = np.stack(np.unravel_index(ri, (h, w)), -1)
+    qrc = np.stack(np.unravel_index(qi, (h, w)), -1)
+    assert (np.abs(rrc - qrc).max(-1) <= 1).mean() >= 0.75

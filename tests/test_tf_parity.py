@@ -118,3 +118,89 @@ def test_backbone_parity_atrous_output_stride_8():
     assert feats_t.shape == feats_j.shape
     scale = np.abs(feats_t).max()
     np.testing.assert_allclose(feats_j, feats_t, atol=1e-4 * scale, rtol=1e-4)
+
+
+def _reference_estimate_pose(arrays, cfg, frames_u8, crop=None):
+    """Numpy/TF replay of the reference's estimate_pose frame loop
+    (ref: eval.py:306-372): per-frame forward, neighborhood likelihood,
+    mu*stride + stride/2 pixel conversion — the pipeline our batched
+    estimate_pose must match end to end."""
+    from tf_reference_net import reference_forward
+
+    nj = cfg.num_joints
+    xs, ys, liks = [], [], []
+    for frame in frames_u8:
+        if crop is not None:  # PIL box (left, upper, right, lower)
+            x0, y0, x1, y1 = crop
+            frame = frame[y0:y1, x0:x1]
+        out = reference_forward(arrays, frame[None].astype(np.float32), nj,
+                                gamma=cfg.gamma, gauss_len=cfg.gauss_len)
+        mu = np.asarray(out["mu"])[0]            # (nj, 2) scoremap (r, c)
+        part = np.asarray(out["part_pred"])[0]   # (h, w, nj) logits
+        lik = np.zeros(nj)
+        for j in range(nj):
+            sig = 1.0 / (1.0 + np.exp(-part[:, :, j]))
+            f = np.floor(mu[j]).astype(int)
+            c = np.ceil(mu[j]).astype(int) + 1
+            win = sig[f[0]:c[0], f[1]:c[1]]
+            r_, c_ = np.unravel_index(np.argmax(win), win.shape)
+            lik[j] = sig[f[0] + r_, f[1] + c_]
+        xs.append(mu[:, 1] * cfg.stride + 0.5 * cfg.stride)
+        ys.append(mu[:, 0] * cfg.stride + 0.5 * cfg.stride)
+        liks.append(lik)
+    return (np.asarray(xs), np.asarray(ys), np.asarray(liks))
+
+
+def test_estimate_pose_pipeline_parity_vs_tf(tmp_path):
+    """PIPELINE-level TF1 parity (north star: <= 1 px): the full batched
+    estimate_pose — video decode, optional crop, likelihood neighborhood
+    rule, stride/offset pixel conversion, CSV export naming — agrees with
+    a frame-at-a-time replay of the reference's eval loop
+    (ref: eval.py:217-372) running the raw-TF reconstruction on the SAME
+    exported weights. Goes beyond the activation tests above: it executes
+    both *pipelines*, not both networks."""
+    import cv2
+
+    from deepgraphpose_tpu.infer.predict import estimate_pose
+
+    hw = (96, 128)
+    cfg, model, variables = _randomized_model(hw, rng_seed=3)
+    cfg.compute_dtype = "float32"
+    arrays = export_tf_arrays(variables, "resnet_50")
+
+    # video with a bright moving blob (gives the soft-argmax a real peak)
+    rng = np.random.default_rng(0)
+    vid = tmp_path / "clip.avi"
+    wr = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"MJPG"), 10.0,
+                         (hw[1], hw[0]))
+    frames = []
+    for i in range(5):
+        f = rng.integers(0, 40, (*hw, 3)).astype(np.uint8)
+        r0, c0 = 20 + 8 * i, 30 + 10 * i
+        f[r0:r0 + 12, c0:c0 + 12] = 230
+        frames.append(f)
+        wr.write(f[:, :, ::-1])  # cv2 writes BGR
+    wr.release()
+    # read back exactly what each side will see (MJPG is lossy)
+    from deepgraphpose_tpu.data.video import VideoReader
+    reader = VideoReader(str(vid))
+    decoded = np.stack([reader.read_frame(i) for i in range(5)])
+    reader.close()
+
+    for crop in (None, (16, 8, 112, 88)):  # (x0, y0, x1, y1)
+        ours = estimate_pose(None, "snapshot-step2-final--0", str(vid),
+                             str(tmp_path / "out"), save_pose=False,
+                             crop=crop, pose_cfg=cfg, variables=variables,
+                             model=model, compute_dtype=jnp.float32)
+        xr, yr, lik = _reference_estimate_pose(arrays, cfg, decoded,
+                                               crop=crop)
+        # coordinate-frame convention: the reference computes xmin/ymin for
+        # a cropped run but never adds them back (eval.py:317-322 vs
+        # 352-356 — coords stay in crop space); ours returns full-frame
+        # pixels (predict.py adds crop[0]/crop[1]). Compare in crop space.
+        x0, y0 = (crop[0], crop[1]) if crop else (0, 0)
+        dx = np.abs(np.asarray(ours["x"]) - x0 - xr).max()
+        dy = np.abs(np.asarray(ours["y"]) - y0 - yr).max()
+        dl = np.abs(np.asarray(ours["likelihoods"]) - lik).max()
+        assert dx < 0.25 and dy < 0.25, (crop, dx, dy)
+        assert dl < 1e-2, (crop, dl)
