@@ -92,6 +92,12 @@ _LAZY_API = {
         "merge_windowsannotationdataONlinuxsystem": (
             "deepgraphpose_tpu.project.conversion",
             "merge_windowsannotationdataONlinuxsystem"),
+        # GUI-name counterparts (ref: DeepLabCut __init__.py:33-38 wx-only
+        # exports; headless equivalents here)
+        "select_crop_parameters": ("deepgraphpose_tpu.project",
+                                   "crop_select"),
+        "multiple_individual_labeling_toolbox": (
+            "deepgraphpose_tpu.project", "multi_individual"),
         # 3-D (ref: deeplabcut pose_estimation_3d)
         "create_new_project_3d": ("deepgraphpose_tpu.threed",
                                   "create_new_project_3d"),
@@ -105,7 +111,8 @@ _LAZY_API = {
 # reference-spelled names (DeepLabCut __init__.py:30-58) — every name the
 # reference exports resolves, so `import deepgraphpose_tpu as deeplabcut`
 # runs reference project scripts (deepgraphpose_tpu/compat.py)
-for _name in ("label_frames", "refine_labels", "train_network",
+for _name in ("label_frames", "refine_labels", "launch_dlc",
+              "train_network",
               "return_train_network_path", "return_evaluate_network_data",
               "load_demo_data", "create_pretrained_human_project",
               "create_training_model_comparison",

@@ -30,6 +30,32 @@ def refine_labels(config, video: str | None = None, port: int = 8574):
     return label_frames(config, video=video, port=port)
 
 
+def launch_dlc(config: str | None = None, port: int = 8574):
+    """The reference's GUI launcher (ref: gui/launch_script.py:42-45 — a wx
+    notebook with Welcome + Manage Project tabs). Headless equivalents:
+    with a project config, launch the browser labeling UI (this repo's
+    GUI); without one, print the Welcome tab's function — the guided
+    workflow with the matching API/CLI invocations."""
+    if config:
+        return label_frames(config, port=port)
+    print("""deepgraphpose_tpu — workflow (ref GUI: welcome.py/launch_script.py)
+
+  1. create a project      create_new_project(name, you, [videos])
+                           $ dgp create-project ...
+  2. extract frames        extract_frames(config)         | dgp extract-frames
+  3. label                 label_frames(config)  (browser UI; multi-animal:
+                           multiple_individual_labeling_toolbox.show)
+  4. build training set    create_training_dataset(config) | dgp create-training-dataset
+  5. train (3 DGP steps)   python demo/run_dgp_demo.py --dlcpath <project>
+  6. evaluate              evaluate_network(config) / evaluate_dgp(...)
+  7. analyze videos        analyze_videos(config, [videos]) | dgp analyze-videos
+  8. refine / iterate      extract_outlier_frames -> refine_labels -> merge_datasets
+
+launch_dlc(config=<path/to/config.yaml>) opens the labeling UI directly.""",
+          flush=True)
+    return None
+
+
 # ---- training (ref: pose_estimation_tensorflow/training.py) -------------
 
 def return_train_network_path(config, shuffle: int = 1,

@@ -7,6 +7,8 @@ frame_extraction.py, trainingsetmanipulation.py) using this package's own
 IO primitives — same on-disk filestructure contract, no wx GUI.
 """
 
+from deepgraphpose_tpu.project import (crop_select,  # noqa: F401
+                                       multi_individual)
 from deepgraphpose_tpu.project.new import add_new_videos, create_new_project
 from deepgraphpose_tpu.project.extract import extract_frames
 from deepgraphpose_tpu.project.hygiene import (
@@ -22,4 +24,5 @@ __all__ = [
     "compare_video_lists_and_data_folders",
     "drop_duplicates_in_annotation_files",
     "drop_annotations_for_deleted_images", "drop_unannotated_images",
+    "crop_select", "multi_individual",
 ]

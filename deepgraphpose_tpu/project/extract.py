@@ -132,6 +132,28 @@ def extract_frames(config: str | Path, mode: str = "automatic",
             if spec:
                 x0, x1, y0, y1 = [int(v) for v in str(spec).split(",")]
                 crop_box = (x0, x1, y0, y1)
+            else:
+                # reference behavior: crop=True with no stored crop pops the
+                # selection GUI and writes coords back to config.yaml
+                # (ref: frame_extraction.py:149-168); headless resolution
+                # order in project/crop_select.py ($DGP_CROP / tty / full)
+                from deepgraphpose_tpu.project import crop_select
+
+                cap = cv2.VideoCapture(str(vpath))
+                cap.set(cv2.CAP_PROP_POS_FRAMES,
+                        int(proj.start * max(n - 1, 0)))
+                ok, frame0 = cap.read()
+                cap.release()
+                if ok:
+                    coords = crop_select.show(config, frame0[:, :, ::-1])
+                    crop_box = tuple(int(v) for v in coords)
+                    import yaml
+
+                    raw = yaml.safe_load(config.read_text())
+                    raw.setdefault("video_sets", {}).setdefault(vid, {})
+                    raw["video_sets"][vid]["crop"] = ", ".join(
+                        str(v) for v in crop_box)
+                    config.write_text(yaml.safe_dump(raw, sort_keys=False))
 
         dest = project_path / "labeled-data" / vpath.stem
         dest.mkdir(parents=True, exist_ok=True)

@@ -171,7 +171,12 @@ class LabelServer:
     """Threaded HTTP server wrapping one video's labeling session."""
 
     def __init__(self, project_path: str | Path, video: str | None = None,
-                 port: int = 0, host: str = "127.0.0.1"):
+                 port: int = 0, host: str = "127.0.0.1",
+                 scorer: str | None = None,
+                 bodyparts: list | None = None):
+        """``scorer``/``bodyparts`` override the config values — used by the
+        multi-individual workflow (project/multi_individual.py) to run one
+        session per individual into a session-scoped CollectedData file."""
         from deepgraphpose_tpu.core.config import ProjectConfig
 
         project_path = Path(project_path)
@@ -184,8 +189,8 @@ class LabelServer:
                 raise FileNotFoundError(
                     f"no labeled-data video dirs under {project_path}")
             video = vids[0]
-        self.state = _State(project_path, video, proj.scorer,
-                            list(proj.bodyparts))
+        self.state = _State(project_path, video, scorer or proj.scorer,
+                            list(bodyparts or proj.bodyparts))
         state = self.state
 
         class Handler(BaseHTTPRequestHandler):

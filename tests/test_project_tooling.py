@@ -130,3 +130,148 @@ def test_create_training_dataset_roundtrip(project):
     assert (root / cfg.dataset).exists()
     assert (root / cfg.metadataset).exists()
     assert (pc.parent.parent / "test" / "pose_cfg.yaml").exists()
+
+
+def test_select_crop_parameters(tmp_path, monkeypatch):
+    """Headless crop selection (ref: utils/select_crop_parameters.py):
+    env / non-tty / browser resolution paths + the extract_frames(crop=True)
+    config write-back (ref: frame_extraction.py:149-168)."""
+    import json
+    import urllib.request
+
+    import numpy as np
+    import yaml
+
+    import deepgraphpose_tpu as dgp
+
+    crop_select = dgp.select_crop_parameters
+    img = np.zeros((60, 90, 3), np.uint8)
+
+    monkeypatch.setenv("DGP_CROP", "5,80,6,50")
+    assert crop_select.show(None, img) == [5, 80, 6, 50]
+    monkeypatch.delenv("DGP_CROP")
+
+    # non-interactive default: full frame, [x1, x2, y1, y2]
+    assert crop_select.show(None, img) == [0, 90, 0, 60]
+
+    # browser one-shot: GET the page, POST a rectangle; returns it clipped
+    import threading
+    import time
+    out2 = {}
+
+    def run2():
+        out2["coords"] = crop_select._browser_select(img, port=8598,
+                                                     timeout=10)
+
+    t2 = threading.Thread(target=run2)
+    t2.start()
+    time.sleep(0.3)
+    page = urllib.request.urlopen("http://127.0.0.1:8598/",
+                                  timeout=5).read()
+    assert b"frame.png" in page
+    req = urllib.request.Request(
+        "http://127.0.0.1:8598/api/crop",
+        data=json.dumps({"x1": 3.2, "y1": 4.9, "x2": 200.0,
+                         "y2": 30.0}).encode(), method="POST")
+    urllib.request.urlopen(req, timeout=5)
+    t2.join(10)
+    assert out2["coords"] == [3, 90, 4, 30]  # x2 clipped to width
+
+    # extract_frames(crop=True) with no stored crop resolves via $DGP_CROP
+    # and writes the coords back into config.yaml
+    from conftest import make_synthetic_project
+
+    root, _, _ = make_synthetic_project(tmp_path / "proj")
+    from pathlib import Path
+    root = Path(root)
+    cfg = yaml.safe_load((root / "config.yaml").read_text())
+    vid_key = next(iter(cfg["video_sets"]))
+    cfg["video_sets"][vid_key].pop("crop", None)
+    (root / "config.yaml").write_text(yaml.safe_dump(cfg, sort_keys=False))
+    monkeypatch.setenv("DGP_CROP", "2,40,3,30")
+    dgp.extract_frames(root / "config.yaml", crop=True)
+    cfg2 = yaml.safe_load((root / "config.yaml").read_text())
+    assert cfg2["video_sets"][vid_key]["crop"] == "2, 40, 3, 30"
+    import cv2
+    pngs = sorted((root / "labeled-data").rglob("img*.png"))
+    im = cv2.imread(str(pngs[0]))
+    assert im.shape[:2] == (27, 38)  # y: 3..30, x: 2..40
+
+
+def test_multi_individual_labels(tmp_path):
+    """4-level CollectedData (ref: multiple_individual_labeling_toolbox
+    create_dataframe:620-641, saveDataSet:862-872): column order, CSV/H5
+    twin, session merge."""
+    import h5py
+    import numpy as np
+
+    from deepgraphpose_tpu.project import multi_individual as mi
+
+    # column construction mirrors the reference: 'single' gets the unique
+    # bodyparts, the others get the multi-animal bodyparts
+    cols = mi.create_dataframe_columns(
+        "Ann", ["single", "m1", "m2"], ["tailbase"], ["nose", "ear"])
+    assert cols[:2] == [("Ann", "single", "tailbase", "x"),
+                        ("Ann", "single", "tailbase", "y")]
+    assert ("Ann", "m2", "ear", "y") == cols[-1]
+    assert len(cols) == 2 * (1 + 2 + 2)
+
+    imgs = ["labeled-data/v/img0.png", "labeled-data/v/img1.png"]
+    lab = mi.MultiIndividualLabels.empty("Ann", ["single", "m1", "m2"],
+                                         ["tailbase"], ["nose", "ear"], imgs)
+    lab.set_label(imgs[0], "m1", "nose", 10.5, 20.25)
+    lab.set_label(imgs[1], "single", "tailbase", 1.0, 2.0)
+    out_csv = lab.save(tmp_path)
+    back = mi.read_multi_individual_csv(out_csv)
+    assert back.columns == lab.columns
+    np.testing.assert_array_equal(
+        np.isnan(back.values), np.isnan(lab.values))
+    np.testing.assert_allclose(np.nan_to_num(back.values),
+                               np.nan_to_num(lab.values))
+
+    # h5 twin: pandas fixed format with 4 levels
+    with h5py.File(tmp_path / "CollectedData_Ann.h5") as f:
+        g = f["df_with_missing"]
+        assert g.attrs["axis0_nlevels"] == 4
+        assert [s.decode() for s in g["axis0_level1"][:]] == \
+            ["single", "m1", "m2"]
+        assert g["block0_values"].shape == (2, 10)
+
+    # merge per-individual sessions written by the browser workflow
+    import yaml
+
+    proj = tmp_path / "proj"
+    vdir = proj / "labeled-data" / "v"
+    vdir.mkdir(parents=True)
+    (proj / "config.yaml").write_text(yaml.safe_dump(dict(
+        Task="t", scorer="Ann", individuals=["single", "m1"],
+        uniquebodyparts=["tailbase"], multianimalbodyparts=["nose", "ear"],
+        bodyparts=["nose", "ear"], video_sets={})))
+    from deepgraphpose_tpu.data.project import Labels, write_collected_data
+
+    write_collected_data(
+        vdir / "CollectedData_Ann_idv_single",
+        Labels("Ann_idv_single", ["tailbase"], ["labeled-data/v/img0.png"],
+               np.array([[[7.0, 8.0]]])))
+    write_collected_data(
+        vdir / "CollectedData_Ann_idv_m1",
+        Labels("Ann_idv_m1", ["nose", "ear"], ["labeled-data/v/img0.png"],
+               np.array([[[1.0, 2.0], [3.0, 4.0]]])))
+    merged = mi.merge_individual_sessions(proj / "config.yaml", "v")
+    got = mi.read_multi_individual_csv(merged)
+    ci = got.columns.index(("Ann", "m1", "ear", "x"))
+    assert got.values[0, ci] == 3.0
+    cs = got.columns.index(("Ann", "single", "tailbase", "y"))
+    assert got.values[0, cs] == 8.0
+    # session files cleaned up after merge
+    assert not list(vdir.glob("*_idv_*"))
+
+
+def test_launch_dlc_headless(capsys):
+    """launch_dlc() without a config prints the guided workflow (the
+    reference Welcome tab's function, ref: gui/launch_script.py)."""
+    import deepgraphpose_tpu as dgp
+
+    assert dgp.launch_dlc() is None
+    out = capsys.readouterr().out
+    assert "create_new_project" in out and "analyze_videos" in out
