@@ -239,6 +239,18 @@ def main():
                 "vs_baseline": round(q_fps / NORTH_STAR_FPS, 3),
                 "vs_bf16_full_frame": round(q_fps / full_fps, 2),
             }
+            # int8 residual carries (quantize='residual'): 1 byte/elem at
+            # block boundaries too — the remaining HBM lever past the
+            # bottleneck-internal narrow carry (PERF.md round-4)
+            qmodel_r, qvars_r = quantize_model(cfg, variables, calib,
+                                               residual_int8=True)
+            qr_fps = _measure_stream(make_infer_fn(qmodel_r, cfg), qvars_r,
+                                     ring, batch, n_frames, reps)
+            out["int8_residual_full_frame"] = {
+                "value": round(qr_fps, 1),
+                "vs_baseline": round(qr_fps / NORTH_STAR_FPS, 3),
+                "vs_int8_full_frame": round(qr_fps / max(q_fps, 1e-9), 2),
+            }
             if mode == "dynamic":
                 from deepgraphpose_tpu.infer.dynamic import \
                     make_crop_infer_fn as _mk

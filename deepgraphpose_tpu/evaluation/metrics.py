@@ -143,8 +143,9 @@ def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
             from deepgraphpose_tpu.models.quant import quantize_model
 
             calib = np.stack([images[i] for i in idxs[:16]])
-            model, variables = quantize_model(cfg, variables, calib,
-                                              dtype=dtype)
+            model, variables = quantize_model(
+                cfg, variables, calib, dtype=dtype,
+                residual_int8=(quantize == "residual"))
         if decode == "dlc":
             from deepgraphpose_tpu.ops.decode import argmax_pose_decode
 

@@ -30,6 +30,10 @@ def main() -> int:
     ap.add_argument("--snapshots", nargs="*",
                     default=["snapshot-step0-final--0"])
     ap.add_argument("--decodes", nargs="*", default=["dlc", "dgp"])
+    ap.add_argument("--modes", nargs="*",
+                    default=["bf16", "int8", "residual"],
+                    help="bf16 | int8 (bf16 residual carries) | residual "
+                    "(int8 residual carries, models/quant.py)")
     args = ap.parse_args()
 
     from deepgraphpose_tpu.evaluation.metrics import evaluate_dgp
@@ -45,10 +49,12 @@ def main() -> int:
     for snap in args.snapshots:
         snap_path = Path(train_dir) / f"{snap}.ckpt"
         for decode in args.decodes:
-            for q in (False, True):
+            for mode in args.modes:
+                q = {"bf16": False, "int8": True,
+                     "residual": "residual"}[mode]
                 r = evaluate_dgp(cfg_file, snap_path, decode=decode,
                                  quantize=q)
-                row = dict(snapshot=snap, decode=decode, int8=q,
+                row = dict(snapshot=snap, decode=decode, mode=mode,
                            train_rmse=round(r["train_error"], 3),
                            test_rmse=round(r["test_error"], 3))
                 rows.append(row)
