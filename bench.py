@@ -88,6 +88,16 @@ def _measure_stream(infer, variables, ring, batch, n_frames, reps,
         if len(top) >= 2 and top[1] >= top[0] * (1.0 - agree):
             break
         samples.append(one_rep())
+    top = sorted(samples, reverse=True)
+    # expose the sample spread so the recorded artifact documents its own
+    # contention profile (round-3 verdict: a 16% spread across same-protocol
+    # runs was only visible by comparing artifacts after the fact)
+    _measure_stream.last_stats = {
+        "n_reps": len(samples),
+        "min": round(min(samples), 1),
+        "median": round(float(np.median(samples)), 1),
+        "confirming": round(top[1], 1) if len(top) > 1 else None,
+    }
     return max(samples)
 
 
@@ -192,6 +202,7 @@ def main():
 
     full_fps = _measure_stream(make_infer_fn(model, cfg), variables, ring,
                                batch, n_frames, reps)
+    rep_stats = _measure_stream.last_stats
     out = {
         "metric": f"inference_throughput_{net_type}_{h}x{w}_b{batch}_{dtype_name}",
         "value": round(full_fps, 1),
@@ -215,6 +226,7 @@ def main():
         center = jnp.asarray([h / 2, w / 2], jnp.float32)
         dyn_fps = _measure_stream(lambda v, im: crop_fn(v, im, center),
                                   variables, ring, batch, n_frames, reps)
+        rep_stats = _measure_stream.last_stats
         out.update({
             "metric": out["metric"] + "_trackedcrop",
             "value": round(dyn_fps, 1),
@@ -265,6 +277,7 @@ def main():
                 }
         except Exception as e:  # noqa: BLE001 — never cost the headline
             out["int8_full_frame"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    out["rep_stats"] = rep_stats  # headline metric's sample spread
     print(json.dumps(out))
 
 
