@@ -276,6 +276,11 @@ def _int8_backbone(cfg: PoseConfig, qvariables: dict, x,
     serves both consumers. Identity/max-pool shortcuts dequantize with the
     same scale before the add. The final unit stays wide (it feeds the
     bf16 heads).
+
+    Measured accuracy cost (EVAL.md "int8 residual-carry accuracy",
+    11/44 Reaching split): +0.89 px test RMSE at the dlc argmax+locref
+    decode, free at the dgp soft-argmax decode — hence opt-in, never
+    the int8 default.
     """
     qw = qvariables["qw"]
     oscale = qvariables["oscale"]
