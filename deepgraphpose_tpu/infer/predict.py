@@ -175,9 +175,15 @@ def estimate_pose(proj_cfg_file: str | Path | None,
         dtype = (_jnp.bfloat16 if pose_cfg.compute_dtype == "bfloat16"
                  else _jnp.float32)
     if model is None or variables is None:
-        model, variables = init_model(pose_cfg, jax.random.PRNGKey(0),
-                                      (in_h, in_w), dtype=dtype)
-        variables, _ = ckpt_lib.load_snapshot(dgp_model_file, variables)
+        # honor caller-supplied variables: only snapshot-load when they are
+        # absent (a caller passing variables without a model must not have
+        # them clobbered by a re-load)
+        new_model, init_vars = init_model(pose_cfg, jax.random.PRNGKey(0),
+                                          (in_h, in_w), dtype=dtype)
+        if model is None:
+            model = new_model
+        if variables is None:
+            variables, _ = ckpt_lib.load_snapshot(dgp_model_file, init_vars)
 
     from deepgraphpose_tpu.models.quant import QuantizedPoseModel
 

@@ -92,7 +92,7 @@ def main(argv=None) -> int:
             ("native", {}, None),
             ("crop", dict(crop=crop_box), crop_box)):
         t0 = time.time()
-        ours = estimate_pose(None, snap.name, str(video), "/tmp/tfpp_out",
+        ours = estimate_pose(None, str(snap), str(video), "/tmp/tfpp_out",
                              save_pose=False, max_frames=n, pose_cfg=cfg,
                              variables=variables,
                              compute_dtype=jnp.float32, **kw)
@@ -112,7 +112,7 @@ def main(argv=None) -> int:
 
     # bf16 production dtype vs the f32 TF recon (native frames): bounds the
     # dtype-induced delta users actually ship with
-    ours_bf16 = estimate_pose(None, snap.name, str(video), "/tmp/tfpp_out",
+    ours_bf16 = estimate_pose(None, str(snap), str(video), "/tmp/tfpp_out",
                               save_pose=False, max_frames=n, pose_cfg=cfg,
                               variables=None, model=None,
                               compute_dtype=jnp.bfloat16)
@@ -134,10 +134,10 @@ def main(argv=None) -> int:
     v2, report = import_tf_checkpoint(v2, str(tf_prefix),
                                       net_type=cfg.net_type,
                                       scopes=("resnet", "pose"))
-    ours0 = estimate_pose(None, snap.name, str(video), "/tmp/tfpp_out",
+    ours0 = estimate_pose(None, str(snap), str(video), "/tmp/tfpp_out",
                           save_pose=False, max_frames=n, pose_cfg=cfg,
                           variables=variables, compute_dtype=jnp.float32)
-    ours2 = estimate_pose(None, snap.name, str(video), "/tmp/tfpp_out",
+    ours2 = estimate_pose(None, str(snap), str(video), "/tmp/tfpp_out",
                           save_pose=False, max_frames=n, pose_cfg=cfg,
                           variables=v2, compute_dtype=jnp.float32)
     rt = float(max(np.abs(np.asarray(ours0[k]) - np.asarray(ours2[k])).max()
