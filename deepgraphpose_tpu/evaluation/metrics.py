@@ -83,7 +83,8 @@ def load_evaluation_entries(dlcpath: Path, proj, cfg) -> list:
 def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
                  shuffle: int = 1, pcutoff: float | None = None,
                  compute_dtype=None, decode: str = "dgp",
-                 quantize: bool = False, trainingsetindex: int = 0) -> dict:
+                 quantize: bool = False, trainingsetindex: int = 0,
+                 scale: float = 1.0) -> dict:
     """RMSE vs human labels over the train/test split.
 
     Runs the eval graph per labeled image (batched per unique image size)
@@ -93,6 +94,13 @@ def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
     ``quantize=True`` evaluates the int8 backbone (models/quant.py,
     calibrated on the labeled images themselves) — measures the PTQ
     accuracy cost directly against human labels.
+    ``scale`` runs inference at a reduced resolution and rescales the
+    predicted coordinates back to label space — the same resolution
+    lever as the reference's pose_cfg ``global_scale`` applied at
+    analysis time (ref: deeplabcut/pose_estimation_tensorflow/
+    predict_videos.py:132-139, frames resized by cfg scale before the
+    forward pass and poses mapped back). RMSE stays in ORIGINAL pixels,
+    so the number is directly comparable across scales.
     Returns a dict with per-frame tables and summary scalars.
     """
     import jax
@@ -114,12 +122,20 @@ def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
 
     # group by image size to keep shapes static per jit
     by_size: dict[tuple[int, int], list[int]] = {}
-    images, coords, is_train, image_paths = [], [], [], []
+    images, coords, is_train, image_paths, up = [], [], [], [], []
     for i, (p, c, tr) in enumerate(entries):
         img = cv2.imread(str(p))
         if img is None:
             continue
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if scale != 1.0:
+            h0, w0 = img.shape[:2]
+            h1 = max(int(round(h0 * scale)), 1)
+            w1 = max(int(round(w0 * scale)), 1)
+            img = cv2.resize(img, (w1, h1))
+            up.append((w0 / w1, h0 / h1))  # scaled px -> label px, (x, y)
+        else:
+            up.append((1.0, 1.0))
         by_size.setdefault(img.shape[:2], []).append(len(images))
         images.append(img)
         coords.append(c)
@@ -127,6 +143,7 @@ def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
         image_paths.append(p)
     coords = np.asarray(coords)
     is_train = np.asarray(is_train)
+    up = np.asarray(up)  # (n, 2) per-image coordinate upscale factors
 
     dtype = compute_dtype
     if dtype is None:
@@ -171,15 +188,17 @@ def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
                 xyl = np.asarray(infer(variables,
                                        jnp.asarray(arr)))[:len(group)]
                 for k, i in enumerate(group):
-                    pred_xy[i] = xyl[k, :, :2]
+                    pred_xy[i] = xyl[k, :, :2] * up[i]
                     lik[i] = xyl[k, :, 2]
                 continue
             mu, l = infer(variables, jnp.asarray(arr))
             mu = np.asarray(mu)[:len(group)]
             l = np.asarray(l)[:len(group)]
             for k, i in enumerate(group):
-                pred_xy[i, :, 0] = mu[k, :, 1] * cfg.stride + cfg.stride / 2
-                pred_xy[i, :, 1] = mu[k, :, 0] * cfg.stride + cfg.stride / 2
+                pred_xy[i, :, 0] = (mu[k, :, 1] * cfg.stride
+                                    + cfg.stride / 2) * up[i, 0]
+                pred_xy[i, :, 1] = (mu[k, :, 0] * cfg.stride
+                                    + cfg.stride / 2) * up[i, 1]
                 lik[i] = l[k]
 
     rmse_all, rmse_cut = pairwise_distances(pred_xy, coords, lik, pcutoff)

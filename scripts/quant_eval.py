@@ -34,6 +34,10 @@ def main() -> int:
                     default=["bf16", "int8", "residual"],
                     help="bf16 | int8 (bf16 residual carries) | residual "
                     "(int8 residual carries, models/quant.py)")
+    ap.add_argument("--scales", nargs="*", type=float, default=[1.0],
+                    help="inference resolution scales (evaluate_dgp scale=; "
+                    "RMSE stays in original pixels) — the resolution lever "
+                    "of the full-frame throughput roofline (PERF.md)")
     args = ap.parse_args()
 
     from deepgraphpose_tpu.evaluation.metrics import evaluate_dgp
@@ -50,15 +54,18 @@ def main() -> int:
         snap_path = Path(train_dir) / f"{snap}.ckpt"
         for decode in args.decodes:
             for mode in args.modes:
-                q = {"bf16": False, "int8": True,
-                     "residual": "residual"}[mode]
-                r = evaluate_dgp(cfg_file, snap_path, decode=decode,
-                                 quantize=q)
-                row = dict(snapshot=snap, decode=decode, mode=mode,
-                           train_rmse=round(r["train_error"], 3),
-                           test_rmse=round(r["test_error"], 3))
-                rows.append(row)
-                print(json.dumps(row), flush=True)
+                for scale in args.scales:
+                    q = {"bf16": False, "int8": True,
+                         "residual": "residual"}[mode]
+                    r = evaluate_dgp(cfg_file, snap_path, decode=decode,
+                                     quantize=q, scale=scale)
+                    row = dict(snapshot=snap, decode=decode, mode=mode,
+                               train_rmse=round(r["train_error"], 3),
+                               test_rmse=round(r["test_error"], 3))
+                    if scale != 1.0:
+                        row["scale"] = scale
+                    rows.append(row)
+                    print(json.dumps(row), flush=True)
     print(json.dumps({"rows": rows}))
     return 0
 

@@ -126,6 +126,32 @@ def test_evaluate_dgp_dlc_decode_mode(project_with_snapshot):
     assert np.isfinite(res["pred_xy"]).all()
 
 
+def test_evaluate_dgp_scale_maps_back_to_label_space(project_with_snapshot):
+    """evaluate_dgp(scale=) runs inference at reduced resolution but keeps
+    RMSE in ORIGINAL pixels (the reference's analysis-time global_scale
+    lever, ref: predict_videos.py:132-139): predictions must land inside
+    the original image bounds, not the downscaled ones."""
+    from deepgraphpose_tpu.evaluation.metrics import evaluate_dgp
+
+    root, train_dir = project_with_snapshot
+    snap = Path(train_dir) / "snapshot-step2-final--0.ckpt"
+    res = evaluate_dgp(Path(root) / "config.yaml", snap, scale=0.5)
+    assert np.isfinite(res["train_error"])
+    assert np.isfinite(res["pred_xy"]).all()
+    # synthetic frames are 64x80: at scale=0.5 the net sees 32x40; mapped
+    # back, coords must span beyond the downscaled frame's pixel range
+    # whenever the full-res eval does (both decode from the same snapshot)
+    full = evaluate_dgp(Path(root) / "config.yaml", snap)
+    assert res["pred_xy"].shape == full["pred_xy"].shape
+    # scaled-run predictions live in label space [0, 80)x[0, 64) (plus up
+    # to one upscaled stride cell of decode overshoot at the frame edge),
+    # not in downscaled space [0, 40)x[0, 32)
+    assert res["pred_xy"][..., 0].max() <= 80.0 + 16.0
+    assert res["pred_xy"][..., 1].max() <= 64.0 + 16.0
+    if full["pred_xy"][..., 0].max() > 40.0:
+        assert res["pred_xy"][..., 0].max() > 40.0
+
+
 def test_evaluate_network_combined_csv(project_with_snapshot):
     from deepgraphpose_tpu.evaluation.metrics import evaluate_network
 
