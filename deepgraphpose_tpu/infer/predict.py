@@ -174,18 +174,31 @@ def estimate_pose(proj_cfg_file: str | Path | None,
     if dtype is None:
         dtype = (_jnp.bfloat16 if pose_cfg.compute_dtype == "bfloat16"
                  else _jnp.float32)
-    if model is None or variables is None:
+    from deepgraphpose_tpu.models.quant import QuantizedPoseModel
+
+    if model is None and variables is not None:
+        # caller supplied variables only: the module object is cheap to
+        # construct — no init forward, which at video resolution costs a
+        # full-frame compile just to discard the result
+        from deepgraphpose_tpu.models.pose_model import PoseModel
+
+        model = PoseModel(pose_cfg, dtype=dtype)
+    elif variables is None:
         # honor caller-supplied variables: only snapshot-load when they are
-        # absent (a caller passing variables without a model must not have
-        # them clobbered by a re-load)
+        # absent. The snapshot template comes from the DEFAULT architecture,
+        # so a structurally different caller model cannot host it.
+        if isinstance(model, QuantizedPoseModel):
+            raise ValueError(
+                "estimate_pose(model=<quantized>) needs the matching "
+                "quantized variables passed alongside (or pass quantize= "
+                "and let estimate_pose quantize the snapshot itself)")
+        # param/batch-stat shapes are input-size independent, so a tiny
+        # init suffices as the restore template
         new_model, init_vars = init_model(pose_cfg, jax.random.PRNGKey(0),
-                                          (in_h, in_w), dtype=dtype)
+                                          dtype=dtype)
         if model is None:
             model = new_model
-        if variables is None:
-            variables, _ = ckpt_lib.load_snapshot(dgp_model_file, init_vars)
-
-    from deepgraphpose_tpu.models.quant import QuantizedPoseModel
+        variables, _ = ckpt_lib.load_snapshot(dgp_model_file, init_vars)
 
     if quantize and not isinstance(model, QuantizedPoseModel):
         from deepgraphpose_tpu.models.quant import (calib_frames_from_video,

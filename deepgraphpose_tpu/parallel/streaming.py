@@ -125,7 +125,7 @@ def estimate_pose_multichip(proj_cfg_file, dgp_model_file, video_file,
 
         model, variables = quantize_model(
             cfg, variables, calib_frames_from_video(video_file),
-            dtype=dtype)
+            dtype=dtype, residual_int8=(quantize == "residual"))
     infer = make_time_sharded_infer_fn(model, cfg, mesh)
     smoother = make_time_sharded_smoother(mesh) if smooth else None
 

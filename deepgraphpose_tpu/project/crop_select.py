@@ -137,11 +137,25 @@ def show(config, image, interactive: str | None = None, port: int = 0,
         return [0, w, 0, h]
 
     if sys.stdin.isatty():
-        raw = input(f"crop x1,x2,y1,y2 for a {w}x{h} frame "
-                    f"(empty = full frame): ").strip()
-        if raw:
-            return [int(float(v)) for v in raw.split(",")]
-        return [0, w, 0, h]
+        while True:
+            raw = input(f"crop x1,x2,y1,y2 for a {w}x{h} frame "
+                        f"(empty = full frame): ").strip()
+            if not raw:
+                return [0, w, 0, h]
+            try:
+                parts = [int(float(v)) for v in raw.split(",")]
+            except ValueError:
+                parts = []
+            if len(parts) == 4:
+                x1, x2, y1, y2 = parts
+                # clamp to the frame and reject empty boxes (the reference
+                # GUI's drag rectangle cannot leave the image)
+                x1, x2 = sorted(min(max(v, 0), w) for v in (x1, x2))
+                y1, y2 = sorted(min(max(v, 0), h) for v in (y1, y2))
+                if x2 > x1 and y2 > y1:
+                    return [x1, x2, y1, y2]
+            print("need 4 comma-separated ints inside the frame; try again",
+                  flush=True)
 
     print(f"select_crop_parameters: non-interactive session and no "
           f"$DGP_CROP — using the full {w}x{h} frame")

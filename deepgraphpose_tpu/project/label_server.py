@@ -189,8 +189,11 @@ class LabelServer:
                 raise FileNotFoundError(
                     f"no labeled-data video dirs under {project_path}")
             video = vids[0]
+        # an explicit empty bodyparts override is honored (a multi-animal
+        # individual can have zero parts); only None falls back to config
         self.state = _State(project_path, video, scorer or proj.scorer,
-                            list(bodyparts or proj.bodyparts))
+                            list(proj.bodyparts if bodyparts is None
+                                 else bodyparts))
         state = self.state
 
         class Handler(BaseHTTPRequestHandler):

@@ -256,6 +256,10 @@ def show(config: str | Path, video: str | None = None, port: int = 0):
     scorer = cfg.get("scorer", "scorer")
     for ind in individuals:
         bps = bodyparts_for(ind, unique, multi)
+        if not bps:  # e.g. uniquebodyparts: [] — nothing to label
+            print(f"=== individual '{ind}' has no bodyparts; skipping ===",
+                  flush=True)
+            continue
         print(f"=== labeling individual '{ind}' "
               f"({len(bps)} bodyparts; ctrl-c to finish this session) ===",
               flush=True)
@@ -266,5 +270,12 @@ def show(config: str | Path, video: str | None = None, port: int = 0):
             srv.serve_forever()
         except KeyboardInterrupt:
             print(f"session for '{ind}' closed", flush=True)
+        finally:
+            # release the socket so the next individual's session can bind
+            # the same explicit port
+            srv.stop()
         video = video or srv.state.video
+    if video is None:  # every individual was skipped; no session ran
+        print("no labeling sessions ran; nothing to merge")
+        return None
     return merge_individual_sessions(config, video)

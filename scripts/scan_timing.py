@@ -65,21 +65,27 @@ def main() -> int:
                                windows_per_device=g, scan_iters=k)
                 wall = time.perf_counter() - t0
                 assert snap is not None
-            s_per_iter = wall / args.iters
+            # ``maxiters`` caps the SCHEDULE (fit.py:776): the run consumes
+            # ``iters`` windows of ``batch`` frames regardless of G (G>1
+            # groups them into iters/G optimizer updates), so wall/iters is
+            # s per schedule window and batch/s_per_window is frames/s —
+            # no extra G factor.
+            s_per_window = wall / args.iters
             cell = {"windows": g, "scan": k, "wall_s": round(wall, 1),
-                    "s_per_iter": round(s_per_iter, 4),
-                    # each optimizer update consumes G windows of B frames
-                    "frames_per_s": round(g * args.batch / s_per_iter, 1)}
+                    "s_per_window": round(s_per_window, 4),
+                    "s_per_update": round(s_per_window * g, 4),
+                    "frames_per_s": round(args.batch / s_per_window, 1)}
             cells.append(cell)
             print(json.dumps(cell), flush=True)
             for p in Path(train_dir).glob(f"snapshot-step2{tag}-*"):
                 p.unlink()
-    base = cells[0]["s_per_iter"]
     res["cells"] = cells
-    res["speedups_vs_w1_scan_off"] = [
-        round(base / c["s_per_iter"], 2) for c in cells]
-    res["frames_speedups_vs_w1_scan_off"] = [
-        round(c["frames_per_s"] / cells[0]["frames_per_s"], 2)
+    # frames-throughput ratios vs the first cell measured (which cell that
+    # is depends on --windows order, so name it in the output)
+    res["baseline_cell"] = {"windows": cells[0]["windows"],
+                            "scan": cells[0]["scan"]}
+    res["speedups_vs_baseline_cell"] = [
+        round(cells[0]["s_per_window"] / c["s_per_window"], 2)
         for c in cells]
     print(json.dumps(res))
     return 0

@@ -74,22 +74,36 @@ def main(argv=None) -> int:
                                              fit_dlc, resolve_project)
 
     args.workdir.mkdir(parents=True, exist_ok=True)
-    if (args.warmstart_from is not None
-            and not (args.workdir / "Reaching-Mackenzie-2018-08-30").exists()):
+    if args.warmstart_from is not None:
         import shutil
         src = args.warmstart_from / "Reaching-Mackenzie-2018-08-30"
         dst = args.workdir / "Reaching-Mackenzie-2018-08-30"
-        print(f"warm-starting from {src}", flush=True)
-        shutil.copytree(src, dst)
-        # drop step-2 artifacts so only step 2 retrains (0/1 skip-if-final)
-        for p in dst.rglob("snapshot-step2-*"):
-            p.unlink()
-        for p in dst.rglob("learning_stats_step2*.csv"):
-            p.unlink()
-        import yaml as _yaml
-        c = _yaml.safe_load((dst / "config.yaml").read_text())
-        c["project_path"] = str(dst)
-        (dst / "config.yaml").write_text(_yaml.safe_dump(c, sort_keys=False))
+        if dst.exists():
+            if not args.fresh:
+                # the existing project wins (steps skip via their finals);
+                # clear the flag so the EVAL record doesn't claim a
+                # warm start that never happened
+                print(f"{dst} exists; ignoring --warmstart-from "
+                      "(pass --fresh to replace it)", flush=True)
+                args.warmstart_from = None
+            else:
+                shutil.rmtree(dst)
+        if args.warmstart_from is not None:
+            print(f"warm-starting from {src}", flush=True)
+            shutil.copytree(src, dst)
+            # the copy IS the fresh state; make_workdir must not rm it
+            args.fresh = False
+            # drop step-2 artifacts so only step 2 retrains (0/1
+            # skip-if-final)
+            for p in dst.rglob("snapshot-step2-*"):
+                p.unlink()
+            for p in dst.rglob("learning_stats_step2*.csv"):
+                p.unlink()
+            import yaml as _yaml
+            c = _yaml.safe_load((dst / "config.yaml").read_text())
+            c["project_path"] = str(dst)
+            (dst / "config.yaml").write_text(
+                _yaml.safe_dump(c, sort_keys=False))
     proj_dir = make_workdir(args.workdir, fresh=args.fresh)
     cfg_path = proj_dir / "config.yaml"
     cfg = yaml.safe_load(cfg_path.read_text())
