@@ -275,6 +275,17 @@ def main():
                     "value": round(q_dyn, 1),
                     "vs_baseline": round(q_dyn / NORTH_STAR_FPS, 3),
                 }
+                # residual carries compose with the crop; accuracy-free at
+                # the dgp decode only (EVAL.md int8 residual-carry), so a
+                # sub-measurement, not the headline
+                qrcrop_fn = _mk(qmodel_r, cfg, (ch, cw))
+                qr_dyn = _measure_stream(
+                    lambda v, im: qrcrop_fn(v, im, center), qvars_r, ring,
+                    batch, n_frames, reps)
+                out["int8_residual_trackedcrop"] = {
+                    "value": round(qr_dyn, 1),
+                    "vs_baseline": round(qr_dyn / NORTH_STAR_FPS, 3),
+                }
         except Exception as e:  # noqa: BLE001 — never cost the headline
             out["int8_full_frame"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     out["rep_stats"] = rep_stats  # headline metric's sample spread
