@@ -149,3 +149,38 @@ def test_estimate_pose_quantized(synthetic_project, infer_setup, tmp_path):
     # random-weight net: just bound the decode drift to a few pixels
     med = np.median(np.hypot(q["x"] - f32["x"], q["y"] - f32["y"]))
     assert med < 8.0, f"median int8-vs-f32 drift {med:.2f} px"
+
+
+def test_estimate_pose_model_variables_resolution(synthetic_project,
+                                                  infer_setup, tmp_path):
+    """The model/variables resolution contract: variables-only constructs
+    the module without a snapshot load; a quantized model without its
+    variables is rejected instead of loading the float snapshot into a
+    mismatched template."""
+    from deepgraphpose_tpu.core import checkpoint as ckpt_lib
+    from deepgraphpose_tpu.models.pose_model import PoseModel
+    from deepgraphpose_tpu.models.quant import quantize_model
+
+    root, _, _ = synthetic_project
+    cfg, model, variables = infer_setup
+    video = root + "/videos/synthvid.avi"
+    snap = ckpt_lib.save_snapshot(tmp_path, 0, "final--0", variables)
+    assert snap.name == "snapshot-step0-final--0.ckpt"
+
+    # variables only: no snapshot on disk is even needed
+    vars_only = estimate_pose(None, tmp_path / "missing.ckpt", video,
+                              tmp_path, pose_cfg=cfg, variables=variables,
+                              batch_size=8, max_frames=8, save_pose=False)
+    # model only: snapshot loads into the default template
+    model_only = estimate_pose(None, snap, video, tmp_path, pose_cfg=cfg,
+                               model=PoseModel(cfg), batch_size=8,
+                               max_frames=8, save_pose=False)
+    np.testing.assert_allclose(vars_only["x"], model_only["x"], atol=1e-3)
+
+    # quantized model without its variables must raise
+    frame0 = np.zeros((2, 64, 80, 3), np.uint8)
+    qmodel, _ = quantize_model(cfg, variables, frame0)
+    with pytest.raises(ValueError, match="quantized"):
+        estimate_pose(None, snap, video, tmp_path, pose_cfg=cfg,
+                      model=qmodel, batch_size=8, max_frames=8,
+                      save_pose=False)
