@@ -219,17 +219,28 @@ def evaluate(config, shuffle, snapshot, out, plotting, quantize):
 @click.option("--destfolder", default=None)
 @click.option("--int8/--no-int8", "quantize", default=False,
               help="int8-quantized backbone (2x MXU rate; models/quant.py)")
+@click.option("--residual-int8", is_flag=True, default=False,
+              help="int8 backbone with int8 residual-stream carries "
+                   "(+25% over --int8; accuracy cost in EVAL.md)")
+@click.option("--scale", default=None, type=float,
+              help="resize frames by this factor before inference "
+                   "(coordinates stay in original pixels)")
+@click.option("--preset", default=None, type=click.Choice(["fast"]),
+              help="'fast' = scale 0.75 + residual-int8: the measured "
+                   "above-target full-frame operating point (PERF.md)")
 @click.option("--dynamic", nargs=3, type=float, default=(0, 0.5, 10),
               help="dynamic cropping: STATE THRESHOLD MARGIN "
                    "(ref predict_videos.py dynamic=(False,.5,10))")
 def analyze_videos(config, videos, shuffle, batchsize, save_as_csv,
-                   destfolder, quantize, dynamic):
+                   destfolder, quantize, residual_int8, scale, preset,
+                   dynamic):
     """Batched full-video inference with DLC scorer-named outputs."""
     from deepgraphpose_tpu.infer.analyze import analyze_videos as _analyze
 
     _analyze(config, list(videos), shuffle=shuffle, batchsize=batchsize,
              save_as_csv=save_as_csv, destfolder=destfolder,
-             quantize=quantize,
+             quantize="residual" if residual_int8 else quantize,
+             scale=scale, preset=preset,
              dynamic=(bool(dynamic[0]), dynamic[1], int(dynamic[2])))
 
 

@@ -72,7 +72,9 @@ def analyze_videos(config: str | Path, videos: list, videotype: str = "",
                    cropping: tuple | None = None,
                    num_outputs: int = 1,
                    max_frames: int | None = None,
-                   quantize: bool = False,
+                   quantize: bool | str = False,
+                   scale: float | None = None,
+                   preset: str | None = None,
                    dynamic: tuple = (False, 0.5, 10)) -> str:
     """Analyze every video; returns the DLC scorer string.
 
@@ -82,12 +84,29 @@ def analyze_videos(config: str | Path, videos: list, videotype: str = "",
     dynamic-cropping switch (ref: predict_videos.py:37,90-101 GetPoseDynamic)
     — here it routes to the TPU-redesigned batched fixed-size tracker
     (infer/dynamic.py). ``quantize=True`` runs the int8 backbone
-    (models/quant.py); the two compose.
+    (models/quant.py), ``quantize="residual"`` also carries the residual
+    stream in int8; the levers compose.
+
+    ``scale`` resizes frames before inference (coordinates stay in
+    original-video pixels), the reference's analyze-time resize lever.
+    ``preset="fast"`` selects the measured above-target full-frame
+    operating point — scale 0.75 + residual-int8, 2148.8 fps/chip vs
+    728.8 bf16 at 1.0x on the Reaching frame size, at a ~3 px accuracy
+    cost (PERF.md "Downscaled inference", EVAL.md "Resolution-lever
+    accuracy"); explicit scale=/quantize= arguments override its choices.
     """
     from deepgraphpose_tpu.data.video import VideoReader
     from deepgraphpose_tpu.infer.export import export_pose_like_dlc
     from deepgraphpose_tpu.infer.predict import estimate_pose
     from deepgraphpose_tpu.train.fit import resolve_project
+
+    if preset is not None:
+        if preset != "fast":
+            raise ValueError(f"unknown preset {preset!r}; only 'fast'")
+        if scale is None:
+            scale = 0.75
+        if quantize is False:
+            quantize = "residual"
 
     config = Path(config)
     dlcpath = config.parent
@@ -113,6 +132,10 @@ def analyze_videos(config: str | Path, videos: list, videotype: str = "",
         else:
             print(f"warning: video {p} not found; skipping")
 
+    if cropping is not None and scale is not None and scale != 1.0:
+        raise ValueError("cropping= and scale= don't compose (the crop box "
+                         "is in original pixels); crop first or scale "
+                         "first explicitly via estimate_pose")
     crop = None
     if cropping is not None:
         x1, x2, y1, y2 = cropping
@@ -130,6 +153,11 @@ def analyze_videos(config: str | Path, videos: list, videotype: str = "",
             continue
 
         t0 = time.time()
+        if scale is not None and scale != 1.0 and (
+                num_outputs > 1 or (dynamic and dynamic[0])):
+            print("warning: scale is only applied in the full-frame "
+                  "single-output path (dynamic cropping already reduces "
+                  "compute; num_outputs > 1 decodes full-frame)")
         if num_outputs > 1:
             if crop is not None:
                 print("warning: cropping is not applied in the "
@@ -168,7 +196,7 @@ def analyze_videos(config: str | Path, videos: list, videotype: str = "",
                 video_file=video, output_dir=dest, shuffle=shuffle,
                 save_pose=False, crop=crop, batch_size=batchsize,
                 max_frames=max_frames, pose_cfg=pose_cfg,
-                quantize=quantize)
+                quantize=quantize, scale=scale)
             n = labels["x"].shape[0]
             # writes <stem>.csv + <stem>.h5 with the scorer layout
             export_pose_like_dlc(labels, scorer, names,

@@ -127,13 +127,14 @@ def estimate_pose(proj_cfg_file: str | Path | None,
                   save_pose: bool = True,
                   save_str: str = "",
                   new_size: tuple | None = None,
+                  scale: float | None = None,
                   crop: tuple | None = None,
                   batch_size: int | None = None,
                   max_frames: int | None = None,
                   pose_cfg: PoseConfig | None = None,
                   variables=None, model=None,
                   compute_dtype=None,
-                  quantize: bool = False,
+                  quantize: bool | str = False,
                   calib_frames: int = 16) -> dict:
     """Full-video inference; returns {'x','y','likelihoods'} (T, nj) arrays.
 
@@ -143,6 +144,14 @@ def estimate_pose(proj_cfg_file: str | Path | None,
     quantize=True runs the backbone in int8 (models/quant.py; calibrated on
     the video's first ``calib_frames`` frames) — ~2x conv rate on the TPU
     MXU (PERF.md int8 probe), a TPU-first extension the reference lacks.
+    quantize="residual" additionally carries the inter-unit residual
+    stream in int8 (+25% over default int8; accuracy cost measured in
+    EVAL.md "residual-int8 carry accuracy").
+
+    ``scale`` is a relative resize (new_size = round(scale * video dims));
+    coordinates are still returned in original-video pixels. Mutually
+    exclusive with ``new_size``. PERF.md "Downscaled inference" records
+    the measured fps/accuracy trade-off per scale.
     """
     video_file = Path(video_file)
     output_dir = Path(output_dir)
@@ -158,6 +167,12 @@ def estimate_pose(proj_cfg_file: str | Path | None,
         _, pose_cfg, _ = resolve_project(Path(proj_cfg_file).parent, shuffle)
 
     reader = VideoReader(video_file)
+    if scale is not None:
+        if new_size is not None:
+            raise ValueError("pass scale= or new_size=, not both")
+        if scale != 1.0:
+            new_size = (max(1, round(reader.height * scale)),
+                        max(1, round(reader.width * scale)))
     in_h, in_w = (new_size if new_size is not None
                   else (reader.height, reader.width))
     if crop is not None:

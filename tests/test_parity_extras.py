@@ -233,6 +233,57 @@ def test_display_dataset_targets(project_with_snapshot, tmp_path):
     assert all(p.stat().st_size > 1000 for p in out)
 
 
+def test_analyze_videos_scale_lever(project_with_snapshot, tmp_path):
+    """scale= resizes frames before inference but keeps coordinates in
+    original-video pixels (the reference's analyze-time resize lever;
+    PERF.md 'Downscaled inference')."""
+    from deepgraphpose_tpu.infer.analyze import analyze_videos
+    from deepgraphpose_tpu.infer.export import load_pose_from_dlc
+    from deepgraphpose_tpu.infer.predict import estimate_pose
+
+    root, train_dir = project_with_snapshot
+    video = Path(root) / "videos" / "synthvid.avi"
+    scorer = analyze_videos(Path(root) / "config.yaml", [video],
+                            destfolder=tmp_path, max_frames=6, batchsize=3,
+                            scale=0.75)
+    back = load_pose_from_dlc(str(tmp_path / f"{video.stem}{scorer}.csv"))
+    assert back["x"].shape == (6, 3)
+    assert np.isfinite(back["x"]).all()
+
+    # plumbing parity: scale= is exactly estimate_pose(new_size=round(s*hw))
+    direct = estimate_pose(
+        proj_cfg_file=Path(root) / "config.yaml",
+        dgp_model_file=Path(train_dir) / "snapshot-step2-final--0.ckpt",
+        video_file=video, output_dir=tmp_path, save_pose=False,
+        new_size=(48, 60), batch_size=3, max_frames=6)
+    np.testing.assert_allclose(back["x"], direct["x"], atol=0.02)
+    np.testing.assert_allclose(back["y"], direct["y"], atol=0.02)
+    # coordinates were rescaled back to original pixels
+    assert back["x"].max() <= 80 and back["y"].max() <= 64
+
+
+def test_analyze_videos_fast_preset(project_with_snapshot, tmp_path):
+    """preset='fast' = scale 0.75 + residual-int8, the measured
+    above-target full-frame operating point (PERF.md)."""
+    import pytest
+
+    from deepgraphpose_tpu.infer.analyze import analyze_videos
+    from deepgraphpose_tpu.infer.export import load_pose_from_dlc
+
+    root, _ = project_with_snapshot
+    video = Path(root) / "videos" / "synthvid.avi"
+    with pytest.raises(ValueError, match="preset"):
+        analyze_videos(Path(root) / "config.yaml", [video],
+                       destfolder=tmp_path, preset="turbo")
+    scorer = analyze_videos(Path(root) / "config.yaml", [video],
+                            destfolder=tmp_path, max_frames=4, batchsize=2,
+                            preset="fast")
+    back = load_pose_from_dlc(str(tmp_path / f"{video.stem}{scorer}.csv"))
+    assert back["x"].shape == (4, 3)
+    assert np.isfinite(back["x"]).all()
+    assert back["x"].max() <= 80 and back["y"].max() <= 64
+
+
 def test_analyze_videos_dynamic(project_with_snapshot, tmp_path):
     """The reference's dynamic=(state, threshold, margin) switch routes to
     the batched fixed-size tracker (ref: predict_videos.py:37,90-101)."""
