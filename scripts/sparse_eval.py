@@ -59,6 +59,16 @@ def main(argv=None) -> int:
                     "copied in so only step 2 trains (for arm sweeps)")
     ap.add_argument("--seed", type=int, default=0,
                     help="split seed for create_training_dataset")
+    ap.add_argument("--scale_jitter", type=float, nargs=2, default=None,
+                    metavar=("LO", "UP"),
+                    help="override pose_cfg scale_jitter_lo/up (ref: "
+                    "pose_cfg.yaml defaults 0.75/1.25) — widen to train "
+                    "for reduced-resolution inference (PERF.md resolution "
+                    "lever; the 0.5x collapse is a train-scale "
+                    "distribution effect)")
+    ap.add_argument("--skip-dgp", action="store_true",
+                    help="train step 0 only (scale/recipe ablations that "
+                    "don't need the DGP steps)")
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--eval-only", action="store_true",
                     help="skip training; evaluate existing snapshots")
@@ -131,6 +141,8 @@ def main(argv=None) -> int:
     raw["batch_size"] = args.step0_batch
     raw["multi_step"] = [[0.005, int(0.33 * it0)], [0.02, int(0.66 * it0)],
                          [0.002, int(0.87 * it0)], [0.0005, it0]]
+    if args.scale_jitter is not None:
+        raw["scale_jitter_lo"], raw["scale_jitter_up"] = args.scale_jitter
     pc.write_text(yaml.safe_dump(raw, sort_keys=False))
 
     platform = jax.devices()[0].platform
@@ -144,26 +156,27 @@ def main(argv=None) -> int:
                 saveiters=max(it0 // 10, 1), aug=True)
         timings["step0_s"] = round(time.time() - t0, 1)
 
-        t0 = time.time()
-        print(f"=== step 1: fit_dgp_labeledonly ({it1} iters) ===",
-              flush=True)
-        fit_dgp_labeledonly(snapshot="snapshot-step0-final--0",
-                            dlcpath=proj_dir, maxiters=it1,
-                            displayiters=max(it1 // 10, 1),
-                            saveiters=max(it1 // 2, 1),
-                            lr=args.dgp_lr, lr_decay=True)
-        timings["step1_s"] = round(time.time() - t0, 1)
+        if not args.skip_dgp:
+            t0 = time.time()
+            print(f"=== step 1: fit_dgp_labeledonly ({it1} iters) ===",
+                  flush=True)
+            fit_dgp_labeledonly(snapshot="snapshot-step0-final--0",
+                                dlcpath=proj_dir, maxiters=it1,
+                                displayiters=max(it1 // 10, 1),
+                                saveiters=max(it1 // 2, 1),
+                                lr=args.dgp_lr, lr_decay=True)
+            timings["step1_s"] = round(time.time() - t0, 1)
 
-        t0 = time.time()
-        print(f"=== step 2: fit_dgp ({it2} iters, wt={args.wt}, "
-              f"gm2={args.gm2}, gm3={args.gm3}) ===", flush=True)
-        fit_dgp(snapshot="snapshot-step1-final--0", dlcpath=proj_dir,
-                batch_size=10, maxiters=it2,
-                displayiters=max(it2 // 10, 1),
-                saveiters=max(it2 // 2, 1), wt=args.wt,
-                gm2=args.gm2, gm3=args.gm3,
-                device_flow=args.devflow, lr=args.dgp_lr, lr_decay=True)
-        timings["step2_s"] = round(time.time() - t0, 1)
+            t0 = time.time()
+            print(f"=== step 2: fit_dgp ({it2} iters, wt={args.wt}, "
+                  f"gm2={args.gm2}, gm3={args.gm3}) ===", flush=True)
+            fit_dgp(snapshot="snapshot-step1-final--0", dlcpath=proj_dir,
+                    batch_size=10, maxiters=it2,
+                    displayiters=max(it2 // 10, 1),
+                    saveiters=max(it2 // 2, 1), wt=args.wt,
+                    gm2=args.gm2, gm3=args.gm3,
+                    device_flow=args.devflow, lr=args.dgp_lr, lr_decay=True)
+            timings["step2_s"] = round(time.time() - t0, 1)
 
     rows = []
     for step in (0, 1, 2):
@@ -192,6 +205,8 @@ def main(argv=None) -> int:
                   gm3=args.gm3, seed=args.seed,
                   warmstart=str(args.warmstart_from or ""),
                   timings=timings, results=rows)
+    if args.scale_jitter is not None:
+        record["scale_jitter"] = args.scale_jitter
     json_path = REPO_ROOT / "EVAL.json"
     history = json.loads(json_path.read_text()) if json_path.exists() else []
     history.append(record)
