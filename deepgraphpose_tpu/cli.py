@@ -428,8 +428,11 @@ def run_demo(dlcpath, dlcsnapshot, shuffle, batch_size, test):
               help="comma-separated export platforms")
 @click.option("--int8/--no-int8", "quantize", default=False,
               help="export the int8-quantized backbone (models/quant.py)")
+@click.option("--residual-int8", is_flag=True, default=False,
+              help="int8 backbone with int8 residual-stream carries "
+                   "(+25% over --int8; accuracy cost in EVAL.md)")
 def export_model(config, out, snapshot, shuffle, batch_size, height, width,
-                 platforms, quantize):
+                 platforms, quantize, residual_int8):
     """Freeze a trained snapshot into a StableHLO serving artifact."""
     from deepgraphpose_tpu.infer.serving import export_from_snapshot
 
@@ -437,7 +440,7 @@ def export_model(config, out, snapshot, shuffle, batch_size, height, width,
     path = export_from_snapshot(
         config, snapshot, out, batch_size=batch_size, in_hw=in_hw,
         shuffle=shuffle, platforms=tuple(platforms.split(",")),
-        quantize=quantize)
+        quantize="residual" if residual_int8 else quantize)
     click.echo(f"wrote {path} (+ {path}.json metadata)")
 
 

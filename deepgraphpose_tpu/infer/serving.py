@@ -61,6 +61,7 @@ def export_infer_artifact(model, cfg: PoseConfig, variables,
     from deepgraphpose_tpu.models.quant import QuantizedPoseModel
 
     meta["quantized_int8"] = isinstance(model, QuantizedPoseModel)
+    meta["residual_int8"] = bool(getattr(model, "residual_int8", False))
     Path(str(out_path) + _META_SUFFIX).write_text(json.dumps(meta, indent=1))
     return out_path
 

@@ -110,10 +110,42 @@ def test_export_int8_quantized_roundtrip(tmp_path):
                           out_path=art, platforms=("cpu",))
     call, meta = load_infer_artifact(art)
     assert meta["quantized_int8"] is True
+    assert meta["residual_int8"] is False
 
     images = rng.integers(0, 255, (2, 48, 64, 3), dtype=np.uint8)
     mu_art, lik_art = call(images)
     mu_ref, lik_ref = infer_forward(qmodel, cfg, qvars,
                                     jax.numpy.asarray(images))
+    np.testing.assert_allclose(np.asarray(mu_art), np.asarray(mu_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_export_residual_int8_roundtrip(tmp_path):
+    """quantize='residual' export: int8 residual-stream carries survive
+    serialization and the metadata records the mode."""
+    from deepgraphpose_tpu.infer.predict import infer_forward
+    from deepgraphpose_tpu.models.quant import quantize_model
+
+    cfg = PoseConfig(num_joints=3, net_type="resnet_50",
+                     all_joints_names=["a", "b", "c"])
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), (48, 64))
+    rng = np.random.default_rng(0)
+    calib = rng.integers(0, 255, (2, 48, 64, 3)).astype(np.float32)
+    qmodel, qvars = quantize_model(cfg, variables, calib,
+                                   dtype=jax.numpy.float32,
+                                   carry_dtype=jax.numpy.float32,
+                                   residual_int8=True)
+
+    art = tmp_path / "pose_resint8.stablehlo"
+    export_infer_artifact(qmodel, cfg, qvars, (48, 64), batch_size=2,
+                          out_path=art, platforms=("cpu",))
+    call, meta = load_infer_artifact(art)
+    assert meta["quantized_int8"] is True
+    assert meta["residual_int8"] is True
+
+    images = rng.integers(0, 255, (2, 48, 64, 3), dtype=np.uint8)
+    mu_art, _ = call(images)
+    mu_ref, _ = infer_forward(qmodel, cfg, qvars,
+                              jax.numpy.asarray(images))
     np.testing.assert_allclose(np.asarray(mu_art), np.asarray(mu_ref),
                                rtol=1e-4, atol=1e-4)
