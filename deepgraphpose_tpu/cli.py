@@ -217,8 +217,9 @@ def evaluate(config, shuffle, snapshot, out, plotting, quantize):
 @click.option("--batchsize", default=None, type=int)
 @click.option("--save-as-csv/--no-csv", default=True)
 @click.option("--destfolder", default=None)
-@click.option("--int8/--no-int8", "quantize", default=False,
-              help="int8-quantized backbone (2x MXU rate; models/quant.py)")
+@click.option("--int8/--no-int8", "quantize", default=None,
+              help="int8-quantized backbone (2x MXU rate; models/quant.py); "
+                   "--no-int8 forces bf16 even under --preset fast")
 @click.option("--residual-int8", is_flag=True, default=False,
               help="int8 backbone with int8 residual-stream carries "
                    "(+25% over --int8; accuracy cost in EVAL.md)")

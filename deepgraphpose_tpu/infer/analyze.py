@@ -72,7 +72,7 @@ def analyze_videos(config: str | Path, videos: list, videotype: str = "",
                    cropping: tuple | None = None,
                    num_outputs: int = 1,
                    max_frames: int | None = None,
-                   quantize: bool | str = False,
+                   quantize: bool | str | None = None,
                    scale: float | None = None,
                    preset: str | None = None,
                    dynamic: tuple = (False, 0.5, 10)) -> str:
@@ -105,8 +105,10 @@ def analyze_videos(config: str | Path, videos: list, videotype: str = "",
             raise ValueError(f"unknown preset {preset!r}; only 'fast'")
         if scale is None:
             scale = 0.75
-        if quantize is False:
+        if quantize is None:  # an explicit quantize=False/--no-int8 wins
             quantize = "residual"
+    if quantize is None:
+        quantize = False
 
     config = Path(config)
     dlcpath = config.parent
@@ -133,9 +135,11 @@ def analyze_videos(config: str | Path, videos: list, videotype: str = "",
             print(f"warning: video {p} not found; skipping")
 
     if cropping is not None and scale is not None and scale != 1.0:
-        raise ValueError("cropping= and scale= don't compose (the crop box "
-                         "is in original pixels); crop first or scale "
-                         "first explicitly via estimate_pose")
+        raise ValueError(
+            "cropping= and scale= don't compose here: analyze_videos' crop "
+            "box is in original pixels while scaled inference crops in "
+            "resized pixels. Use estimate_pose(scale=, crop=) directly, "
+            "whose crop box is documented as resized-pixel coordinates")
     crop = None
     if cropping is not None:
         x1, x2, y1, y2 = cropping

@@ -151,7 +151,10 @@ def estimate_pose(proj_cfg_file: str | Path | None,
     ``scale`` is a relative resize (new_size = round(scale * video dims));
     coordinates are still returned in original-video pixels. Mutually
     exclusive with ``new_size``. PERF.md "Downscaled inference" records
-    the measured fps/accuracy trade-off per scale.
+    the measured fps/accuracy trade-off per scale. ``crop`` is applied
+    after any resize, so with new_size/scale the (x0, y0, x1, y1) box is
+    in resized pixels; returned coordinates are original-video pixels in
+    every combination.
     """
     video_file = Path(video_file)
     output_dir = Path(output_dir)
@@ -170,15 +173,19 @@ def estimate_pose(proj_cfg_file: str | Path | None,
     if scale is not None:
         if new_size is not None:
             raise ValueError("pass scale= or new_size=, not both")
+        if not 0 < scale:
+            raise ValueError(f"scale must be positive, got {scale}")
         if scale != 1.0:
             new_size = (max(1, round(reader.height * scale)),
                         max(1, round(reader.width * scale)))
     in_h, in_w = (new_size if new_size is not None
                   else (reader.height, reader.width))
     if crop is not None:
+        # crop is applied AFTER any resize, so the box is in resized
+        # pixels when new_size/scale is given (matches _batch_producer)
         in_h, in_w = crop[3] - crop[1], crop[2] - crop[0]
-    scale_x = reader.width / in_w if new_size is not None else 1.0
-    scale_y = reader.height / in_h if new_size is not None else 1.0
+    scale_x = reader.width / new_size[1] if new_size is not None else 1.0
+    scale_y = reader.height / new_size[0] if new_size is not None else 1.0
 
     if batch_size is None:
         batch_size = pose_cfg.infer_batch_size
@@ -253,11 +260,15 @@ def estimate_pose(proj_cfg_file: str | Path | None,
     print(f"[estimate_pose] {done} frames in {dt:.2f}s = {fps:.1f} frames/s")
 
     stride = pose_cfg.stride
-    xr = (mu_all[:, :, 1] * stride + 0.5 * stride) * scale_x
-    yr = (mu_all[:, :, 0] * stride + 0.5 * stride) * scale_y
+    xr = mu_all[:, :, 1] * stride + 0.5 * stride
+    yr = mu_all[:, :, 0] * stride + 0.5 * stride
     if crop is not None:
+        # offset in the (possibly resized) frame, BEFORE mapping back to
+        # original pixels — crop+scale/new_size compose correctly
         xr = xr + crop[0]
         yr = yr + crop[1]
+    xr = xr * scale_x
+    yr = yr * scale_y
     labels = {"x": xr, "y": yr, "likelihoods": lik_all}
 
     if save_pose:

@@ -71,13 +71,16 @@ def export_from_snapshot(config_path: str | Path, snapshot: str | Path,
                          in_hw: tuple[int, int] | None = None,
                          shuffle: int = 1,
                          platforms: tuple = ("tpu", "cpu"),
-                         quantize: bool = False) -> Path:
+                         quantize: bool | str = False) -> Path:
     """Export a trained snapshot from a DLC project layout.
 
     ``in_hw`` defaults to the first project video's frame size.
     ``quantize=True`` exports the int8-quantized backbone (models/quant.py,
     calibrated on frames from the first project video) — the serving
     artifact then runs the MXU's 2x int8 conv rate on TPU hosts.
+    ``quantize="residual"`` additionally carries the inter-unit residual
+    stream in int8 (CLI: --residual-int8); the artifact metadata records
+    the mode as ``residual_int8``.
     """
     from deepgraphpose_tpu.models.pose_model import init_model
     from deepgraphpose_tpu.train.fit import (dgp_video_sets, resolve_project,

@@ -147,6 +147,16 @@ def main(argv=None) -> int:
 
     platform = jax.devices()[0].platform
     timings = {}
+    # provenance: steps whose final snapshot pre-exists are SKIPPED by
+    # fit_* (skip-if-final), so this invocation's recipe args (iters,
+    # scale_jitter, lr, ...) do not describe how they were trained
+    preexisting = [s for s in (0, 1, 2)
+                   if (Path(train_dir) /
+                       f"snapshot-step{s}-final--0.ckpt").exists()]
+    if preexisting and not args.eval_only:
+        print(f"WARNING: steps {preexisting} have final snapshots already "
+              "— training skips them; recorded as reused_steps "
+              "(pass --fresh for a clean run)", flush=True)
     if not args.eval_only:
         t0 = time.time()
         print(f"=== step 0: fit_dlc ({it0} iters, fraction "
@@ -179,7 +189,10 @@ def main(argv=None) -> int:
             timings["step2_s"] = round(time.time() - t0, 1)
 
     rows = []
-    for step in (0, 1, 2):
+    # with --skip-dgp, stale step-1/2 snapshots (if any) were not produced
+    # by this run — don't record their rows as this run's results
+    eval_steps = (0,) if args.skip_dgp else (0, 1, 2)
+    for step in eval_steps:
         snap = Path(train_dir) / f"snapshot-step{step}-final--0.ckpt"
         if not snap.exists():
             continue
@@ -207,6 +220,10 @@ def main(argv=None) -> int:
                   timings=timings, results=rows)
     if args.scale_jitter is not None:
         record["scale_jitter"] = args.scale_jitter
+    if args.skip_dgp:
+        record["skip_dgp"] = True
+    if preexisting:
+        record["reused_steps"] = preexisting
     json_path = REPO_ROOT / "EVAL.json"
     history = json.loads(json_path.read_text()) if json_path.exists() else []
     history.append(record)

@@ -94,6 +94,50 @@ def test_estimate_pose_end_to_end(synthetic_project, infer_setup, tmp_path):
     np.testing.assert_allclose(again["x"], labels["x"], rtol=1e-6)
 
 
+def test_estimate_pose_scale_crop_compose(synthetic_project, infer_setup,
+                                          tmp_path):
+    """scale= + crop= compose: crop box is in resized pixels (applied after
+    the resize, matching _batch_producer), and returned coordinates map
+    back to original-video pixels as (coord_px + crop_offset) * 1/scale."""
+    import cv2
+
+    from deepgraphpose_tpu.data.video import VideoReader
+
+    root, _, _ = synthetic_project
+    cfg, model, variables = infer_setup
+    video = root + "/videos/synthvid.avi"
+    crop = (12, 8, 44, 40)  # (x0, y0, x1, y1) in RESIZED (48, 60) pixels
+
+    labels = estimate_pose(None, tmp_path / "fake.ckpt", video, tmp_path,
+                           pose_cfg=cfg, model=model, variables=variables,
+                           save_pose=False, scale=0.75, crop=crop,
+                           batch_size=4, max_frames=4)
+
+    # manual replay of the documented contract
+    reader = VideoReader(video)
+    frames = []
+    for i in range(4):
+        f = cv2.resize(reader.read_frame(i), (60, 48))
+        frames.append(f[crop[1]:crop[3], crop[0]:crop[2]])
+    reader.close()
+    infer = make_infer_fn(model, cfg)
+    mu, _ = infer(variables, np.stack(frames))
+    mu = np.asarray(mu)
+    s = cfg.stride
+    x_exp = (mu[:, :, 1] * s + 0.5 * s + crop[0]) * (80 / 60)
+    y_exp = (mu[:, :, 0] * s + 0.5 * s + crop[1]) * (64 / 48)
+    np.testing.assert_allclose(labels["x"], x_exp, atol=1e-3)
+    np.testing.assert_allclose(labels["y"], y_exp, atol=1e-3)
+
+    # bad scales fail loudly instead of producing garbage
+    import pytest
+
+    with pytest.raises(ValueError, match="scale"):
+        estimate_pose(None, tmp_path / "fake.ckpt", video, tmp_path,
+                      pose_cfg=cfg, model=model, variables=variables,
+                      save_pose=False, scale=0.0)
+
+
 def test_annotated_movie(synthetic_project, tmp_path, rng):
     root, _, _ = synthetic_project
     video = root + "/videos/synthvid.avi"

@@ -261,6 +261,15 @@ def test_analyze_videos_scale_lever(project_with_snapshot, tmp_path):
     # coordinates were rescaled back to original pixels
     assert back["x"].max() <= 80 and back["y"].max() <= 64
 
+    # an explicit quantize=False/--no-int8 overrides the preset's residual
+    # int8 choice: preset+quantize=False == plain bf16 scale=0.75
+    scorer = analyze_videos(Path(root) / "config.yaml", [video],
+                            destfolder=tmp_path / "noq", max_frames=6,
+                            batchsize=3, preset="fast", quantize=False)
+    noq = load_pose_from_dlc(
+        str(tmp_path / "noq" / f"synthvid{scorer}.csv"))
+    np.testing.assert_allclose(noq["x"], back["x"], atol=1e-6)
+
 
 def test_analyze_videos_fast_preset(project_with_snapshot, tmp_path):
     """preset='fast' = scale 0.75 + residual-int8, the measured
