@@ -21,6 +21,18 @@ import click
 CTX = dict(help_option_names=["-h", "--help"])
 
 
+def _resolve_quantize(quantize, residual_int8):
+    """Map the --int8/--no-int8 tri-state + --residual-int8 flag pair to
+    the library quantize= argument, rejecting the contradiction."""
+    if residual_int8:
+        if quantize is False:
+            raise click.UsageError(
+                "--no-int8 and --residual-int8 conflict: --no-int8 forces "
+                "bf16, --residual-int8 requests the int8 carry mode")
+        return "residual"
+    return quantize
+
+
 @click.group(context_settings=CTX)
 def main():
     """TPU-native DeepGraphPose toolbox."""
@@ -240,7 +252,7 @@ def analyze_videos(config, videos, shuffle, batchsize, save_as_csv,
 
     _analyze(config, list(videos), shuffle=shuffle, batchsize=batchsize,
              save_as_csv=save_as_csv, destfolder=destfolder,
-             quantize="residual" if residual_int8 else quantize,
+             quantize=_resolve_quantize(quantize, residual_int8),
              scale=scale, preset=preset,
              dynamic=(bool(dynamic[0]), dynamic[1], int(dynamic[2])))
 
@@ -427,7 +439,7 @@ def run_demo(dlcpath, dlcsnapshot, shuffle, batch_size, test):
 @click.option("--width", default=None, type=int)
 @click.option("--platforms", default="tpu,cpu",
               help="comma-separated export platforms")
-@click.option("--int8/--no-int8", "quantize", default=False,
+@click.option("--int8/--no-int8", "quantize", default=None,
               help="export the int8-quantized backbone (models/quant.py)")
 @click.option("--residual-int8", is_flag=True, default=False,
               help="int8 backbone with int8 residual-stream carries "
@@ -438,10 +450,11 @@ def export_model(config, out, snapshot, shuffle, batch_size, height, width,
     from deepgraphpose_tpu.infer.serving import export_from_snapshot
 
     in_hw = (height, width) if height and width else None
+    quantize = _resolve_quantize(quantize, residual_int8)
     path = export_from_snapshot(
         config, snapshot, out, batch_size=batch_size, in_hw=in_hw,
         shuffle=shuffle, platforms=tuple(platforms.split(",")),
-        quantize="residual" if residual_int8 else quantize)
+        quantize=False if quantize is None else quantize)
     click.echo(f"wrote {path} (+ {path}.json metadata)")
 
 

@@ -564,9 +564,19 @@ def create_labeled_video(config, videos, videotype: str = "avi",
     snap = ckpt_lib.latest_snapshot(train_dir)
     if snap is None:
         raise FileNotFoundError(f"no snapshot under {train_dir}")
-    outs = []
+    from deepgraphpose_tpu.core import paths as paths_lib
+
+    # directory entries expand to their video files, like analyze_videos
+    # (ref: predict_videos.py GetVideoList)
+    expanded = []
     for video in ([videos] if isinstance(videos, (str, os.PathLike))
                   else videos):
+        if Path(video).is_dir():
+            expanded.extend(paths_lib.list_videos(video))
+        else:
+            expanded.append(video)
+    outs = []
+    for video in expanded:
         out = Path(destfolder) if destfolder else Path(video).parent
         outs.append(plot_dgp(video, out, proj_cfg_file=config,
                              dgp_model_file=snap, shuffle=shuffle, **kwargs))

@@ -100,6 +100,7 @@ def analyze_videos(config: str | Path, videos: list, videotype: str = "",
     from deepgraphpose_tpu.infer.predict import estimate_pose
     from deepgraphpose_tpu.train.fit import resolve_project
 
+    preset_quantize = False
     if preset is not None:
         if preset != "fast":
             raise ValueError(f"unknown preset {preset!r}; only 'fast'")
@@ -107,6 +108,7 @@ def analyze_videos(config: str | Path, videos: list, videotype: str = "",
             scale = 0.75
         if quantize is None:  # an explicit quantize=False/--no-int8 wins
             quantize = "residual"
+            preset_quantize = True
     if quantize is None:
         quantize = False
 
@@ -114,6 +116,11 @@ def analyze_videos(config: str | Path, videos: list, videotype: str = "",
     dlcpath = config.parent
     proj, pose_cfg, train_dir = resolve_project(dlcpath, shuffle,
                                                 trainingsetindex)
+    if (preset_quantize
+            and pose_cfg.net_type.startswith("mobilenet")):
+        # residual-int8 is a ResNet carry mode (models/quant.py raises on
+        # mobilenet); the preset degrades to plain int8 there
+        quantize = True
     frac = proj.TrainingFraction[trainingsetindex]
     snap_path, iters = _resolve_snapshot(Path(train_dir), proj, snapshot)
     scorer, scorer_legacy = get_scorer_name(proj, pose_cfg, shuffle, iters)

@@ -417,6 +417,14 @@ def quantize_model(cfg: PoseConfig, variables: dict, calib_images,
         raise NotImplementedError(
             "int8 quantization supports ResNet and MobileNetV2 backbones, "
             f"not {cfg.net_type}")
+    if residual_int8 and cfg.net_type.startswith("mobilenet"):
+        # the inverted-residual carries are narrow and already the cheap
+        # part; the lowering only implements int8 carries for ResNet —
+        # refuse rather than let the model/export metadata claim a mode
+        # that was never applied
+        raise NotImplementedError(
+            "residual_int8 is a ResNet residual-stream mode; "
+            f"{cfg.net_type} has no int8 carry lowering — use int8_carry")
     folded = folded_backbone_weights(variables)
 
     collect = jax.jit(lambda imgs: _collect_forward(

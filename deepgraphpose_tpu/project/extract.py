@@ -128,7 +128,7 @@ def extract_frames(config: str | Path, mode: str = "automatic",
 
         crop_box = None
         if crop:
-            spec = proj.video_sets.get(vid, {}).get("crop")
+            spec = (proj.video_sets.get(vid) or {}).get("crop")
             if spec:
                 x0, x1, y0, y1 = [int(v) for v in str(spec).split(",")]
                 crop_box = (x0, x1, y0, y1)
@@ -150,7 +150,11 @@ def extract_frames(config: str | Path, mode: str = "automatic",
                     import yaml
 
                     raw = yaml.safe_load(config.read_text())
-                    raw.setdefault("video_sets", {}).setdefault(vid, {})
+                    sets = raw.setdefault("video_sets", {})
+                    # a YAML-null entry ("video:" with no mapping) reads
+                    # back as None — replace, don't setdefault
+                    if not isinstance(sets.get(vid), dict):
+                        sets[vid] = {}
                     raw["video_sets"][vid]["crop"] = ", ".join(
                         str(v) for v in crop_box)
                     config.write_text(yaml.safe_dump(raw, sort_keys=False))

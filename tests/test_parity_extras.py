@@ -309,3 +309,27 @@ def test_analyze_videos_dynamic(project_with_snapshot, tmp_path):
     back = load_pose_from_dlc(str(csv))
     assert back["x"].shape == (12, 3)
     assert np.isfinite(back["x"]).all()
+
+
+def test_create_labeled_video_expands_directory(project_with_snapshot,
+                                                monkeypatch, tmp_path):
+    """A videos DIRECTORY entry expands to its video files before plot_dgp
+    (ref: predict_videos.py GetVideoList semantics; round-4 advisor
+    finding — the loop previously handed the directory itself to a
+    video-file API)."""
+    from deepgraphpose_tpu import compat
+    from deepgraphpose_tpu.infer import video_writer
+
+    root, _ = project_with_snapshot
+    vdir = Path(root) / "videos"
+    expect = sorted(str(p) for p in vdir.iterdir()
+                    if p.suffix.lower() in (".avi", ".mp4", ".mov"))
+    assert expect, "fixture should ship at least one video"
+
+    calls = []
+    monkeypatch.setattr(
+        video_writer, "plot_dgp",
+        lambda video, out, **kw: calls.append(str(video)) or str(out))
+    outs = compat.create_labeled_video(Path(root) / "config.yaml", [vdir])
+    assert sorted(calls) == expect
+    assert len(outs) == len(expect)

@@ -201,3 +201,23 @@ def test_cli_create_and_scaffold(tmp_path):
     r = runner.invoke(main, ["create-training-dataset", cfg])
     assert r.exit_code == 0, r.output
     assert list((root / "training-datasets").rglob("*.mat"))
+
+
+def test_cli_no_int8_residual_conflict(tmp_path):
+    """--no-int8 --residual-int8 is a contradiction: the help text says
+    --no-int8 forces bf16, so the pair must be rejected, not silently run
+    residual int8 (round-4 advisor finding)."""
+    from click.testing import CliRunner
+
+    from deepgraphpose_tpu.cli import main
+
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text("Task: t\n")
+    vid = tmp_path / "v.avi"
+    vid.write_bytes(b"")
+    runner = CliRunner()
+    for cmd in (["analyze-videos", str(cfg), str(vid)],
+                ["export-model", str(cfg), str(tmp_path / "e")]):
+        res = runner.invoke(main, cmd + ["--no-int8", "--residual-int8"])
+        assert res.exit_code == 2, res.output
+        assert "conflict" in res.output

@@ -275,3 +275,24 @@ def test_launch_dlc_headless(capsys):
     assert dgp.launch_dlc() is None
     out = capsys.readouterr().out
     assert "create_new_project" in out and "analyze_videos" in out
+
+
+def test_extract_crop_writeback_null_video_entry(tmp_path, monkeypatch):
+    """A YAML-null video_sets entry ("video:" with no mapping) reads back
+    as None; the crop write-back must replace it, not TypeError
+    (round-4 advisor finding)."""
+    import yaml
+
+    import deepgraphpose_tpu as dgp
+    from conftest import make_synthetic_project
+
+    root, _, _ = make_synthetic_project(tmp_path / "proj")
+    root = Path(root)
+    cfg = yaml.safe_load((root / "config.yaml").read_text())
+    vid_key = next(iter(cfg["video_sets"]))
+    cfg["video_sets"][vid_key] = None
+    (root / "config.yaml").write_text(yaml.safe_dump(cfg, sort_keys=False))
+    monkeypatch.setenv("DGP_CROP", "2,40,3,30")
+    dgp.extract_frames(root / "config.yaml", crop=True)
+    cfg2 = yaml.safe_load((root / "config.yaml").read_text())
+    assert cfg2["video_sets"][vid_key]["crop"] == "2, 40, 3, 30"

@@ -219,3 +219,15 @@ def test_residual_int8_close_to_plain_int8():
     rrc = np.stack(np.unravel_index(ri, (h, w)), -1)
     qrc = np.stack(np.unravel_index(qi, (h, w)), -1)
     assert (np.abs(rrc - qrc).max(-1) <= 1).mean() >= 0.75
+
+
+def test_mobilenet_residual_int8_rejected():
+    """residual_int8 is a ResNet carry lowering; on mobilenet it must
+    refuse rather than silently no-op while export metadata claims the
+    mode (round-4 advisor finding)."""
+    import pytest
+
+    cfg, _, variables, images = _setup(hw=(64, 80), net="mobilenet_v2_0.35")
+    with pytest.raises(NotImplementedError, match="residual_int8"):
+        quant_lib.quantize_model(cfg, variables, images,
+                                 residual_int8=True)
