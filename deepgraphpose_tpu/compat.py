@@ -120,8 +120,10 @@ def return_evaluate_network_data(config, shuffle: int = 1,
     [trainingsiterations, trainfraction, shuffle, trainerror, testerror,
     pcutoff, trainerrorpcutoff, net_type, snapshot] row per snapshot;
     with fulldata=True each row also carries the full evaluate_dgp dict.
+    ``comparisonbodyparts`` restricts the errors to a bodypart subset;
+    ``rescale=True`` evaluates at pose_cfg ``global_scale`` (errors stay
+    in original label pixels — see MIGRATION.md).
     """
-    del comparisonbodyparts, rescale  # full-table evaluation, native px
     from deepgraphpose_tpu.core import checkpoint as ckpt_lib
     from deepgraphpose_tpu.core.config import ProjectConfig
     from deepgraphpose_tpu.evaluation.metrics import evaluate_dgp
@@ -152,9 +154,12 @@ def return_evaluate_network_data(config, shuffle: int = 1,
         return (max(sibling) + 1) if sibling else 0
 
     rows = []
+    scale = float(pose_cfg.global_scale) if rescale else 1.0
     for snap in snaps:
         res = evaluate_dgp(config, snap, shuffle=shuffle,
-                           trainingsetindex=trainingsetindex)
+                           trainingsetindex=trainingsetindex,
+                           scale=scale,
+                           comparisonbodyparts=comparisonbodyparts)
         row = [_iters_label(snap),
                proj.TrainingFraction[trainingsetindex], shuffle,
                res["train_error"], res["test_error"], proj.pcutoff,

@@ -80,11 +80,29 @@ def load_evaluation_entries(dlcpath: Path, proj, cfg) -> list:
     return entries
 
 
+def intersect_bodyparts(proj, comparisonbodyparts) -> list[int]:
+    """Column indices of the requested bodyparts, in project order
+    (ref: auxiliaryfunctions.IntersectionofBodyPartsandOnesGivenbyUser —
+    'all' keeps every bodypart; a list is intersected with the project's,
+    unknown names rejected)."""
+    names = list(proj.bodyparts)
+    if (comparisonbodyparts is None or comparisonbodyparts == "all"
+            or comparisonbodyparts == ["all"]):
+        return list(range(len(names)))
+    wanted = ([comparisonbodyparts] if isinstance(comparisonbodyparts, str)
+              else list(comparisonbodyparts))
+    unknown = [b for b in wanted if b not in names]
+    if unknown:
+        raise ValueError(f"unknown bodyparts {unknown}; project has {names}")
+    return [i for i, n in enumerate(names) if n in wanted]
+
+
 def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
                  shuffle: int = 1, pcutoff: float | None = None,
                  compute_dtype=None, decode: str = "dgp",
                  quantize: bool = False, trainingsetindex: int = 0,
-                 scale: float = 1.0) -> dict:
+                 scale: float = 1.0,
+                 comparisonbodyparts="all") -> dict:
     """RMSE vs human labels over the train/test split.
 
     Runs the eval graph per labeled image (batched per unique image size)
@@ -202,15 +220,22 @@ def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
                 lik[i] = l[k]
 
     rmse_all, rmse_cut = pairwise_distances(pred_xy, coords, lik, pcutoff)
+    # summary errors over the requested bodypart subset only
+    # (ref: evaluate.py:158,367 pairwisedistances(comparisonbodyparts));
+    # the per-frame tables stay full-width so callers can re-slice
+    cols = intersect_bodyparts(proj, comparisonbodyparts)
+    rmse_sub = rmse_all[:, cols]
+    rmse_cut_sub = rmse_cut[:, cols]
     out = {
         "pred_xy": pred_xy, "true_xy": coords, "likelihood": lik,
         "is_train": is_train, "image_paths": image_paths,
         "rmse": rmse_all, "rmse_pcutoff": rmse_cut,
-        "train_error": float(np.nanmean(rmse_all[is_train])),
-        "test_error": (float(np.nanmean(rmse_all[~is_train]))
+        "bodypart_columns": cols,
+        "train_error": float(np.nanmean(rmse_sub[is_train])),
+        "test_error": (float(np.nanmean(rmse_sub[~is_train]))
                        if (~is_train).any() else float("nan")),
-        "train_error_pcutoff": float(np.nanmean(rmse_cut[is_train]))
-        if np.isfinite(rmse_cut[is_train]).any() else float("nan"),
+        "train_error_pcutoff": float(np.nanmean(rmse_cut_sub[is_train]))
+        if np.isfinite(rmse_cut_sub[is_train]).any() else float("nan"),
     }
     print(f"[evaluate_dgp] train RMSE {out['train_error']:.2f} px, "
           f"test RMSE {out['test_error']:.2f} px")
@@ -222,7 +247,9 @@ def evaluate_network(config: str | Path, shuffle: int = 1,
                      snapshots: str | list | None = None,
                      pcutoff: float | None = None,
                      plotting: bool = False,
-                     quantize: bool = False) -> list[dict]:
+                     quantize: bool = False,
+                     comparisonbodyparts="all",
+                     rescale: bool = False) -> list[dict]:
     """Evaluate one or all snapshots; writes a combined results CSV.
 
     ref: deeplabcut/pose_estimation_tensorflow/evaluate.py:182-405
@@ -234,6 +261,12 @@ def evaluate_network(config: str | Path, shuffle: int = 1,
     images (ground truth '+', predictions '.'/'x' by pcutoff, train/test
     file prefixes) into ``LabeledImages_<snapshot>/`` next to the CSV
     (ref: evaluate.py:382-392).
+    ``comparisonbodyparts`` restricts the reported errors to a bodypart
+    subset (ref: evaluate.py:265). ``rescale=True`` evaluates at the
+    pose_cfg ``global_scale`` resolution via the ``scale=`` machinery
+    (ref: evaluate.py:315-320) — intentional difference: errors stay in
+    ORIGINAL label pixels here, where the reference reports them in the
+    rescaled pixel space (see MIGRATION.md).
     """
     import csv
 
@@ -245,8 +278,13 @@ def evaluate_network(config: str | Path, shuffle: int = 1,
     proj = ProjectConfig.from_yaml(config)
     from deepgraphpose_tpu.train.fit import resolve_project
 
-    _, _, train_dir = resolve_project(dlcpath, shuffle, trainingsetindex)
+    _, pose_cfg, train_dir = resolve_project(dlcpath, shuffle,
+                                             trainingsetindex)
     train_dir = Path(train_dir)
+    scale = float(pose_cfg.global_scale) if rescale else 1.0
+    if rescale:
+        print(f"[evaluate_network] rescale=True: evaluating at "
+              f"global_scale={scale} (errors stay in original pixels)")
 
     if snapshots is None:
         idx = proj.snapshotindex
@@ -273,7 +311,9 @@ def evaluate_network(config: str | Path, shuffle: int = 1,
                          "train_error_pcutoff_px", "pcutoff"])
         for snap in snaps:
             res = evaluate_dgp(config, snap, shuffle=shuffle,
-                               pcutoff=pcutoff, quantize=quantize)
+                               pcutoff=pcutoff, quantize=quantize,
+                               scale=scale,
+                               comparisonbodyparts=comparisonbodyparts)
             res["snapshot"] = snap.stem
             results.append(res)
             if plotting:

@@ -333,3 +333,55 @@ def test_create_labeled_video_expands_directory(project_with_snapshot,
     outs = compat.create_labeled_video(Path(root) / "config.yaml", [vdir])
     assert sorted(calls) == expect
     assert len(outs) == len(expect)
+
+
+def test_evaluate_comparisonbodyparts_and_rescale(project_with_snapshot):
+    """comparisonbodyparts restricts the summary errors to the subset
+    (ref: evaluate.py:265,367); rescale=True evaluates at pose_cfg
+    global_scale, errors staying in original label pixels (intentional
+    difference, docs/MIGRATION.md)."""
+    import pytest
+    import yaml
+
+    from deepgraphpose_tpu.compat import return_evaluate_network_data
+    from deepgraphpose_tpu.evaluation.metrics import (evaluate_dgp,
+                                                      evaluate_network)
+
+    root, train_dir = project_with_snapshot
+    cfg_file = Path(root) / "config.yaml"
+    snap = Path(train_dir) / "snapshot-step2-final--0.ckpt"
+
+    full = evaluate_dgp(cfg_file, snap)
+    sub = evaluate_dgp(cfg_file, snap, comparisonbodyparts=["bp1"])
+    assert sub["bodypart_columns"] == [1]
+    # the subset summary is exactly the bp1 column of the full table
+    expect = float(np.nanmean(full["rmse"][:, 1][full["is_train"]]))
+    assert sub["train_error"] == pytest.approx(expect, rel=1e-6)
+    assert sub["rmse"].shape == full["rmse"].shape  # tables stay full
+    with pytest.raises(ValueError, match="unknown bodyparts"):
+        evaluate_dgp(cfg_file, snap, comparisonbodyparts=["nosuch"])
+
+    # rescale=True runs at pose_cfg global_scale; set 0.75 and restore
+    pc = Path(train_dir) / "pose_cfg.yaml"
+    orig = pc.read_text()
+    try:
+        raw = yaml.safe_load(orig)
+        raw["global_scale"] = 0.75
+        pc.write_text(yaml.safe_dump(raw, sort_keys=False))
+        res = evaluate_network(cfg_file, snapshots="snapshot-step2-final--0",
+                               comparisonbodyparts=["bp0", "bp2"],
+                               rescale=True)[0]
+        assert res["bodypart_columns"] == [0, 2]
+        assert np.isfinite(res["train_error"])
+        # errors are in original pixels: preds stay in original bounds
+        h, w = 64, 80
+        ok = np.isfinite(res["pred_xy"])
+        assert res["pred_xy"][..., 0][ok[..., 0]].max() <= w
+        assert res["pred_xy"][..., 1][ok[..., 1]].max() <= h
+
+        rows = return_evaluate_network_data(
+            cfg_file, comparisonbodyparts=["bp1"], rescale=True,
+            Snapindex=0, show_errors=False)
+        assert rows and np.isfinite(rows[0][3])
+    finally:
+        pc.write_text(orig)
