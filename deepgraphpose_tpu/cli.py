@@ -69,14 +69,19 @@ def add_videos(config, videos, copy_videos):
 
 @main.command(context_settings=CTX)
 @click.argument("config", type=click.Path(exists=True))
+@click.option("--mode", default="automatic",
+              type=click.Choice(["automatic", "manual"]),
+              help="'manual' = scrub-and-grab browser UI "
+                   "(or $DGP_MANUAL_FRAMES)")
 @click.option("-a", "--algo", default="kmeans",
               type=click.Choice(["kmeans", "uniform"]))
 @click.option("--crop", is_flag=True, default=False)
-def extract_frames(config, algo, crop):
-    """Extract frames for labeling (kmeans or uniform selection)."""
+@click.option("--port", default=0, help="manual-mode UI port (0 = any)")
+def extract_frames(config, mode, algo, crop, port):
+    """Extract frames for labeling (kmeans/uniform, or manual grab)."""
     from deepgraphpose_tpu.project import extract_frames as _extract
 
-    _extract(config, algo=algo, crop=crop)
+    _extract(config, mode=mode, algo=algo, crop=crop, port=port)
 
 
 @main.command(context_settings=CTX)

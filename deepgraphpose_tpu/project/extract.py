@@ -83,23 +83,151 @@ def select_frames_kmeans(video_path: Path, numframes2pick: int,
     return np.unique(picked)
 
 
+_MANUAL_PAGE = """<!doctype html><html><head><title>grab frames</title><style>
+body{font-family:sans-serif;margin:16px;background:#1c1c22;color:#ddd}
+img{border:1px solid #555;max-width:80vw}
+input[type=range]{width:60vw}button{margin:2px}
+#grabbed{color:#9a9}#msg{color:#7c7}
+</style></head><body>
+<h3 id="title">loading…</h3>
+<img id="im" src=""><br>
+<input id="sl" type="range" min="0" value="0"><br>
+<button onclick="step(-1)">&#8592; prev</button>
+<button onclick="step(1)">next &#8594;</button>
+<button onclick="grab()">Grab Frame</button>
+<button onclick="fin()">Done</button> <span id="msg"></span><br>
+<div id="grabbed"></div>
+<script>
+let n=0,fi=0,got=new Set();
+const im=document.getElementById('im'),sl=document.getElementById('sl');
+async function init(){const s=await (await fetch('api/state')).json();
+n=s.n_frames;sl.max=n-1;s.grabbed.forEach(i=>got.add(i));render();}
+function render(){
+ document.getElementById('title').textContent=`frame ${fi} / ${n-1}`;
+ sl.value=fi; im.src='frame/'+fi+'.png';
+ document.getElementById('grabbed').textContent=
+   'grabbed: '+Array.from(got).sort((a,b)=>a-b).join(', ');}
+function step(d){fi=Math.min(Math.max(fi+d,0),n-1);render();}
+sl.oninput=()=>{fi=parseInt(sl.value);render();};
+async function grab(){await fetch('api/grab',{method:'POST',
+ body:JSON.stringify({index:fi})});got.add(fi);render();}
+async function fin(){await fetch('api/done',{method:'POST'});
+ document.getElementById('msg').textContent='done — you can close this tab';}
+document.addEventListener('keydown',e=>{
+ if(e.key==='ArrowRight')step(1);if(e.key==='ArrowLeft')step(-1);
+ if(e.key===' '){e.preventDefault();grab();}});
+init();
+</script></body></html>"""
+
+
+def manual_select(video_path: Path, port: int = 0,
+                  timeout: float | None = None) -> np.ndarray:
+    """Scrub-and-grab frame selection — the headless counterpart of the
+    reference's wx frame_extraction_toolbox (ref: frame_extraction_toolbox.py
+    slider + grabFrame, frame_extraction.py:42-60 mode='manual').
+
+    Resolution order (same pattern as project/crop_select.py):
+
+    1. ``$DGP_MANUAL_FRAMES`` = ``"3,17,42"`` — scripted/CI runs;
+    2. a browser UI (slider scrubber over the video, Grab Frame, Done);
+       on timeout, whatever was grabbed so far is returned.
+    """
+    import os
+    import threading
+
+    import cv2
+
+    env = os.environ.get("DGP_MANUAL_FRAMES")
+    if env:
+        return np.unique([int(float(v)) for v in env.split(",") if v.strip()])
+
+    import json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    cap = cv2.VideoCapture(str(video_path))
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    lock = threading.Lock()  # VideoCapture is not thread-safe
+    grabbed: set[int] = set()
+    done = threading.Event()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _send(self, code, body, ctype="text/plain"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                self._send(200, _MANUAL_PAGE.encode(), "text/html")
+            elif self.path.startswith("/api/state"):
+                self._send(200, json.dumps(
+                    {"n_frames": n, "grabbed": sorted(grabbed)}).encode(),
+                    "application/json")
+            elif self.path.startswith("/frame/"):
+                try:
+                    idx = int(Path(self.path).stem)
+                except ValueError:
+                    return self._send(404, b"bad index")
+                with lock:
+                    cap.set(cv2.CAP_PROP_POS_FRAMES,
+                            min(max(idx, 0), max(n - 1, 0)))
+                    ok, frame = cap.read()
+                if not ok:
+                    return self._send(404, b"no frame")
+                ok, png = cv2.imencode(".png", frame)
+                self._send(200, png.tobytes(), "image/png")
+            else:
+                self._send(404, b"not found")
+
+        def do_POST(self):
+            m = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(m) if m else b"{}"
+            if self.path.startswith("/api/grab"):
+                idx = int(json.loads(body)["index"])
+                if 0 <= idx < n:
+                    grabbed.add(idx)
+                self._send(200, b"ok")
+            elif self.path.startswith("/api/done"):
+                self._send(200, b"ok")
+                done.set()
+            else:
+                self._send(404, b"not found")
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    print(f"manual frame-grab UI at http://127.0.0.1:"
+          f"{httpd.server_address[1]}/ — scrub, Grab Frame, Done "
+          f"({video_path.name}, {n} frames)", flush=True)
+    if not done.wait(timeout):
+        print("manual selection timed out; keeping frames grabbed so far")
+    httpd.shutdown()
+    cap.release()
+    return np.asarray(sorted(grabbed), int)
+
+
 def extract_frames(config: str | Path, mode: str = "automatic",
                    algo: str = "kmeans", crop: bool = False,
                    userfeedback: bool = False, videos: list | None = None,
-                   seed: int = 42) -> dict[str, np.ndarray]:
+                   seed: int = 42, port: int = 0,
+                   timeout: float | None = None) -> dict[str, np.ndarray]:
     """Extract frames for every video in the project's video_sets.
 
-    Returns {video path: selected frame indices}. ``mode`` exists for API
-    parity; only 'automatic' is supported (manual extraction is a GUI
-    feature in the reference).
+    Returns {video path: selected frame indices}. ``mode='automatic'``
+    picks frames by ``algo``; ``mode='manual'`` runs the scrub-and-grab
+    selection per video (``manual_select`` — $DGP_MANUAL_FRAMES or the
+    browser UI; ref: frame_extraction.py:42-60 -> the wx toolbox).
     """
     import cv2
 
     del userfeedback  # headless: never prompt
-    if mode != "automatic":
-        raise NotImplementedError(
-            "only mode='automatic' is supported (the reference's 'manual' "
-            "mode is a wx GUI, ref: frame_extraction.py)")
+    if mode not in ("automatic", "manual"):
+        raise ValueError(f"mode must be 'automatic' or 'manual', not {mode!r}")
 
     config = Path(config)
     proj = ProjectConfig.from_yaml(config)
@@ -117,7 +245,9 @@ def extract_frames(config: str | Path, mode: str = "automatic",
         cap = cv2.VideoCapture(str(vpath))
         n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
         cap.release()
-        if algo == "uniform":
+        if mode == "manual":
+            picked = manual_select(vpath, port=port, timeout=timeout)
+        elif algo == "uniform":
             picked = select_frames_uniform(n, proj.numframes2pick,
                                            proj.start, proj.stop)
         elif algo == "kmeans":

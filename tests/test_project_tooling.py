@@ -296,3 +296,68 @@ def test_extract_crop_writeback_null_video_entry(tmp_path, monkeypatch):
     dgp.extract_frames(root / "config.yaml", crop=True)
     cfg2 = yaml.safe_load((root / "config.yaml").read_text())
     assert cfg2["video_sets"][vid_key]["crop"] == "2, 40, 3, 30"
+
+
+def test_extract_frames_manual_mode(tmp_path, monkeypatch):
+    """mode='manual' (ref: frame_extraction.py:42-60 -> the wx
+    frame_extraction_toolbox): $DGP_MANUAL_FRAMES scripted path and the
+    browser scrub-and-grab UI both write labeled-data/<video>/img*.png
+    with the automatic path's zero-padding."""
+    import json
+    import threading
+    import time
+    import urllib.request
+
+    import deepgraphpose_tpu as dgp
+    from conftest import make_synthetic_project
+
+    root, _, _ = make_synthetic_project(tmp_path / "proj")
+    root = Path(root)
+    vdir = root / "labeled-data"
+    import shutil
+    for d in vdir.glob("*"):
+        if d.is_dir():
+            shutil.rmtree(d)
+
+    # (a) scripted/CI path
+    monkeypatch.setenv("DGP_MANUAL_FRAMES", "1,5,5,9")
+    out = dgp.extract_frames(root / "config.yaml", mode="manual")
+    monkeypatch.delenv("DGP_MANUAL_FRAMES")
+    (vid, picked), = out.items()
+    assert list(picked) == [1, 5, 9]
+    stem = Path(vid).stem
+    pngs = sorted((vdir / stem).glob("img*.png"))
+    assert [p.name for p in pngs] == ["img01.png", "img05.png", "img09.png"]
+
+    # (b) browser path: drive the HTTP UI like a user
+    for p in pngs:
+        p.unlink()
+    res = {}
+
+    def run():
+        res["out"] = dgp.extract_frames(root / "config.yaml", mode="manual",
+                                        port=8599, timeout=20)
+
+    t = threading.Thread(target=run)
+    t.start()
+    time.sleep(0.5)
+    base = "http://127.0.0.1:8599"
+    page = urllib.request.urlopen(f"{base}/", timeout=5).read()
+    assert b"Grab Frame" in page
+    state = json.loads(urllib.request.urlopen(f"{base}/api/state",
+                                              timeout=5).read())
+    assert state["n_frames"] > 0 and state["grabbed"] == []
+    png = urllib.request.urlopen(f"{base}/frame/2.png", timeout=5).read()
+    assert png[:4] == b"\x89PNG"
+    for i in (2, 7):
+        req = urllib.request.Request(
+            f"{base}/api/grab", data=json.dumps({"index": i}).encode(),
+            method="POST")
+        urllib.request.urlopen(req, timeout=5)
+    req = urllib.request.Request(f"{base}/api/done", data=b"{}",
+                                 method="POST")
+    urllib.request.urlopen(req, timeout=5)
+    t.join(20)
+    assert list(res["out"][vid]) == [2, 7]
+    assert sorted(p.name for p in (vdir / stem).glob("img*.png")) == [
+        "img02.png", "img07.png"]
