@@ -77,11 +77,15 @@ def add_videos(config, videos, copy_videos):
               type=click.Choice(["kmeans", "uniform"]))
 @click.option("--crop", is_flag=True, default=False)
 @click.option("--port", default=0, help="manual-mode UI port (0 = any)")
-def extract_frames(config, mode, algo, crop, port):
+@click.option("--timeout", default=None, type=float,
+              help="manual-mode bound in seconds (default: wait forever; "
+                   "on timeout, frames grabbed so far are kept)")
+def extract_frames(config, mode, algo, crop, port, timeout):
     """Extract frames for labeling (kmeans/uniform, or manual grab)."""
     from deepgraphpose_tpu.project import extract_frames as _extract
 
-    _extract(config, mode=mode, algo=algo, crop=crop, port=port)
+    _extract(config, mode=mode, algo=algo, crop=crop, port=port,
+             timeout=timeout)
 
 
 @main.command(context_settings=CTX)

@@ -563,7 +563,7 @@ def create_labeled_video(config, videos, videotype: str = "avi",
     from deepgraphpose_tpu.infer.video_writer import plot_dgp
     from deepgraphpose_tpu.train.fit import resolve_project
 
-    del save_frames, videotype
+    del save_frames
     dlcpath = Path(config).parent
     _, _, train_dir = resolve_project(dlcpath, shuffle, trainingsetindex)
     snap = ckpt_lib.latest_snapshot(train_dir)
@@ -571,13 +571,15 @@ def create_labeled_video(config, videos, videotype: str = "avi",
         raise FileNotFoundError(f"no snapshot under {train_dir}")
     from deepgraphpose_tpu.core import paths as paths_lib
 
-    # directory entries expand to their video files, like analyze_videos
-    # (ref: predict_videos.py GetVideoList)
+    # directory entries expand to their video files of the requested
+    # videotype, like analyze_videos (ref: predict_videos.py GetVideoList)
     expanded = []
     for video in ([videos] if isinstance(videos, (str, os.PathLike))
                   else videos):
         if Path(video).is_dir():
-            expanded.extend(paths_lib.list_videos(video))
+            expanded.extend(
+                v for v in paths_lib.list_videos(video)
+                if v.lower().endswith(videotype.lower().lstrip(".")))
         else:
             expanded.append(video)
     outs = []

@@ -133,6 +133,9 @@ def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
                                            trainingsetindex)
     if pcutoff is None:
         pcutoff = proj.pcutoff
+    # validate the bodypart subset BEFORE the (possibly minutes-long)
+    # inference loop; the indices are reused for the summary below
+    cols = intersect_bodyparts(proj, comparisonbodyparts)
     entries = load_evaluation_entries(dlcpath, proj, cfg)
 
     import cv2
@@ -223,7 +226,6 @@ def evaluate_dgp(proj_cfg_file: str | Path, dgp_model_file: str | Path,
     # summary errors over the requested bodypart subset only
     # (ref: evaluate.py:158,367 pairwisedistances(comparisonbodyparts));
     # the per-frame tables stay full-width so callers can re-slice
-    cols = intersect_bodyparts(proj, comparisonbodyparts)
     rmse_sub = rmse_all[:, cols]
     rmse_cut_sub = rmse_cut[:, cols]
     out = {
@@ -312,6 +314,7 @@ def evaluate_network(config: str | Path, shuffle: int = 1,
         for snap in snaps:
             res = evaluate_dgp(config, snap, shuffle=shuffle,
                                pcutoff=pcutoff, quantize=quantize,
+                               trainingsetindex=trainingsetindex,
                                scale=scale,
                                comparisonbodyparts=comparisonbodyparts)
             res["snapshot"] = snap.stem

@@ -116,11 +116,13 @@ def analyze_videos(config: str | Path, videos: list, videotype: str = "",
     dlcpath = config.parent
     proj, pose_cfg, train_dir = resolve_project(dlcpath, shuffle,
                                                 trainingsetindex)
-    if (preset_quantize
-            and pose_cfg.net_type.startswith("mobilenet")):
-        # residual-int8 is a ResNet carry mode (models/quant.py raises on
-        # mobilenet); the preset degrades to plain int8 there
-        quantize = True
+    if preset_quantize:
+        from deepgraphpose_tpu.models.quant import supports_residual_int8
+
+        if not supports_residual_int8(pose_cfg.net_type):
+            # the preset degrades to plain int8 where the residual-carry
+            # lowering doesn't exist (models/quant.py raises there)
+            quantize = True
     frac = proj.TrainingFraction[trainingsetindex]
     snap_path, iters = _resolve_snapshot(Path(train_dir), proj, snapshot)
     scorer, scorer_legacy = get_scorer_name(proj, pose_cfg, shuffle, iters)

@@ -388,6 +388,15 @@ def _collect_forward(cfg: PoseConfig, folded: dict, images,
     return amax, features
 
 
+def supports_residual_int8(net_type: str) -> bool:
+    """Whether the int8 residual-stream carry lowering exists for this
+    backbone (ResNet only; mobilenet's inverted-residual carries are
+    narrow and stay float). The single source of truth — callers that
+    pick modes (e.g. analyze_videos' fast preset) query this instead of
+    duplicating the net_type check."""
+    return net_type in BLOCK_UNITS
+
+
 def quantize_model(cfg: PoseConfig, variables: dict, calib_images,
                    dtype: Any = jnp.bfloat16, calib_batch: int = 8,
                    calib_percentile: float | None = None,
@@ -417,7 +426,7 @@ def quantize_model(cfg: PoseConfig, variables: dict, calib_images,
         raise NotImplementedError(
             "int8 quantization supports ResNet and MobileNetV2 backbones, "
             f"not {cfg.net_type}")
-    if residual_int8 and cfg.net_type.startswith("mobilenet"):
+    if residual_int8 and not supports_residual_int8(cfg.net_type):
         # the inverted-residual carries are narrow and already the cheap
         # part; the lowering only implements int8 carries for ResNet —
         # refuse rather than let the model/export metadata claim a mode

@@ -109,6 +109,7 @@ def _browser_select(image: np.ndarray, port: int = 0,
           flush=True)
     got = done.wait(timeout)
     httpd.shutdown()
+    httpd.server_close()  # free the port for the next call
     return result.get("coords") if got else None
 
 

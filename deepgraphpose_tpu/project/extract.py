@@ -137,15 +137,23 @@ def manual_select(video_path: Path, port: int = 0,
 
     import cv2
 
+    cap = cv2.VideoCapture(str(video_path))
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+
     env = os.environ.get("DGP_MANUAL_FRAMES")
     if env:
-        return np.unique([int(float(v)) for v in env.split(",") if v.strip()])
+        cap.release()
+        wanted = np.unique([int(float(v)) for v in env.split(",")
+                            if v.strip()])
+        picked = wanted[(wanted >= 0) & (wanted < n)]
+        if len(picked) < len(wanted):
+            print(f"DGP_MANUAL_FRAMES: dropping "
+                  f"{sorted(set(wanted) - set(picked))} outside "
+                  f"[0, {n}) of {video_path.name}")
+        return picked
 
     import json
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-
-    cap = cv2.VideoCapture(str(video_path))
-    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     lock = threading.Lock()  # VideoCapture is not thread-safe
     grabbed: set[int] = set()
     done = threading.Event()
@@ -207,7 +215,9 @@ def manual_select(video_path: Path, port: int = 0,
     if not done.wait(timeout):
         print("manual selection timed out; keeping frames grabbed so far")
     httpd.shutdown()
-    cap.release()
+    httpd.server_close()  # free the port for the next video
+    with lock:  # an in-flight /frame handler may still hold the capture
+        cap.release()
     return np.asarray(sorted(grabbed), int)
 
 

@@ -47,10 +47,17 @@ def main(argv=None) -> int:
     ap.add_argument("--frames-dir", type=Path, default=REFERENCE_FRAMES)
     ap.add_argument("--n-pairs", type=int, default=8)
     ap.add_argument("--no-record", action="store_true")
+    ap.add_argument("--platform", default="cpu",
+                    help="jax platform (default cpu — sitecustomize re-pins "
+                    "axon AFTER env vars, so the env var alone does not "
+                    "move a standalone script off the chip; see CLAUDE.md)")
     args = ap.parse_args(argv)
 
-    import cv2
     import jax
+
+    jax.config.update("jax_platforms", args.platform)
+
+    import cv2
     import jax.numpy as jnp
 
     from deepgraphpose_tpu.data import project as project_io
