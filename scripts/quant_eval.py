@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 from pathlib import Path
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
@@ -38,6 +39,12 @@ def main() -> int:
                     help="inference resolution scales (evaluate_dgp scale=; "
                     "RMSE stays in original pixels) — the resolution lever "
                     "of the full-frame throughput roofline (PERF.md)")
+    ap.add_argument("--tag", default=None,
+                    help="EVAL.json tag (default: quant_scale when scales "
+                    "beyond 1.0 are requested, else quant_eval)")
+    ap.add_argument("--note", default="")
+    ap.add_argument("--no-record", action="store_true",
+                    help="print only; skip the EVAL.json append")
     args = ap.parse_args()
 
     from deepgraphpose_tpu.evaluation.metrics import evaluate_dgp
@@ -67,6 +74,28 @@ def main() -> int:
                     rows.append(row)
                     print(json.dumps(row), flush=True)
     print(json.dumps({"rows": rows}))
+
+    if not args.no_record:
+        import jax
+        tag = args.tag or ("quant_scale" if any(s != 1.0 for s in args.scales)
+                           else "quant_eval")
+        # record the train-time scale distribution next to the inference
+        # scales: the quant_scale story is a train/test distribution effect
+        import yaml
+        pc = yaml.safe_load((Path(train_dir) / "pose_cfg.yaml").read_text())
+        record = dict(date=time.strftime("%Y-%m-%d %H:%M"),
+                      platform=jax.devices()[0].platform, tag=tag,
+                      workdir=str(args.workdir), scales=args.scales,
+                      train_scale_jitter=[pc.get("scale_jitter_lo", 0.75),
+                                          pc.get("scale_jitter_up", 1.25)],
+                      global_scale=pc.get("global_scale", 1.0),
+                      note=args.note, rows=rows)
+        json_path = REPO_ROOT / "EVAL.json"
+        history = (json.loads(json_path.read_text())
+                   if json_path.exists() else [])
+        history.append(record)
+        json_path.write_text(json.dumps(history, indent=1))
+        print(f"recorded to {json_path} (tag={tag})", flush=True)
     return 0
 
 
