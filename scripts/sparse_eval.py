@@ -72,6 +72,10 @@ def main(argv=None) -> int:
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--eval-only", action="store_true",
                     help="skip training; evaluate existing snapshots")
+    ap.add_argument("--eval-steps", type=int, nargs="*", default=None,
+                    help="restrict the final eval to these steps (warmstart "
+                    "arms re-copy steps 0-1 from a workdir that already "
+                    "evaluated them — skip ~20 min of duplicate TPU eval)")
     args = ap.parse_args(argv)
 
     import jax
@@ -192,6 +196,8 @@ def main(argv=None) -> int:
     # with --skip-dgp, stale step-1/2 snapshots (if any) were not produced
     # by this run — don't record their rows as this run's results
     eval_steps = (0,) if args.skip_dgp else (0, 1, 2)
+    if args.eval_steps is not None:
+        eval_steps = tuple(s for s in eval_steps if s in args.eval_steps)
     for step in eval_steps:
         snap = Path(train_dir) / f"snapshot-step{step}-final--0.ckpt"
         if not snap.exists():
