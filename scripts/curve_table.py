@@ -52,6 +52,9 @@ def main(argv=None) -> int:
         it0 = rec.get("iters", [0])[0]
         if it0 and it0 < 20000:
             arm_bits.append(f"it0={it0}")
+        if rec.get("scale_jitter"):
+            lo, up = rec["scale_jitter"]
+            arm_bits.append(f"jitter={lo:g}-{up:g}")
         arm = " ".join(arm_bits) or "wt=0"
         # warmstart arms eval only step 2; step0 is filled from the
         # same-fraction base chain's record in the pass below
@@ -70,16 +73,23 @@ def main(argv=None) -> int:
                 point.setdefault("n_test", s2["n_test"])
         points.append(point)
 
-    # fill missing step0 for warmstarted arms from the same-fraction base
+    # fill missing step0 for warmstarted arms from the same-fraction base;
+    # jitter/it0 recipe variants are their own base lineage (a gm arm
+    # warm-started from the default-recipe chain must not pick up a
+    # scale-jitter chain's step-0 numbers, and vice versa)
+    def lineage(arm: str) -> tuple:
+        return ("it0" in arm, "jitter" in arm)
+
     base = {}
     for p in points:
-        if p["arm"] == "wt=0" or p["arm"].startswith("it0"):
-            base[(p["fraction"], "it0" in p["arm"])] = p
+        if p["arm"] == "wt=0" or all(
+                b.startswith(("it0", "jitter")) for b in p["arm"].split()):
+            base[(p["fraction"], lineage(p["arm"]))] = p
     for p in points:
         for decode in ("dlc", "dgp"):
             pair = p.get(decode)
             if pair and pair[0] is None:
-                b = base.get((p["fraction"], "it0" in p["arm"]))
+                b = base.get((p["fraction"], lineage(p["arm"])))
                 if b and b.get(decode):
                     p[decode] = (b[decode][0], pair[1])
 
